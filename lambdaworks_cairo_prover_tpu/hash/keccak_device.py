@@ -1,0 +1,241 @@
+"""Batched Keccak-256 on TPU: keccak-f[1600] vectorized over leaves.
+
+64-bit lanes are represented as (lo, hi) uint32 pairs so the whole permutation
+is straight-line uint32 VPU code over an arbitrary batch axis.  This replaces
+`lambdaworks-crypto`'s per-leaf `Keccak256` hashing of Merkle leaves/nodes
+(reference config.rs:10-20) with whole-domain batched hashing.
+
+Digests are (n, 8) uint32 arrays in little-endian byte order (word j holds
+digest bytes 4j..4j+4, LE) — i.e. lane j of the final state = w[2j] | w[2j+1]<<32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.params import N_LIMBS
+
+U32 = jnp.uint32
+
+_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
+    0x000000000000808B, 0x0000000080000001, 0x8000000080008081, 0x8000000000008009,
+    0x000000000000008A, 0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089, 0x8000000000008003,
+    0x8000000000008002, 0x8000000000000080, 0x000000000000800A, 0x800000008000000A,
+    0x8000000080008081, 0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+
+_ROT = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+
+_RATE_WORDS = 34  # 136 bytes / 4
+
+
+def _rotl64(lo, hi, r):
+    r %= 64
+    if r == 0:
+        return lo, hi
+    if r == 32:
+        return hi, lo
+    if r < 32:
+        nlo = (lo << r) | (hi >> (32 - r))
+        nhi = (hi << r) | (lo >> (32 - r))
+        return nlo, nhi
+    r -= 32
+    nlo = (hi << r) | (lo >> (32 - r))
+    nhi = (lo << r) | (hi >> (32 - r))
+    return nlo, nhi
+
+
+def _keccak_f(lanes):
+    """lanes: list of 25 (lo, hi) uint32 array pairs; returns new list."""
+    a = lanes
+    for rc in _RC:
+        c = []
+        for x in range(5):
+            lo = a[x][0] ^ a[x + 5][0] ^ a[x + 10][0] ^ a[x + 15][0] ^ a[x + 20][0]
+            hi = a[x][1] ^ a[x + 5][1] ^ a[x + 10][1] ^ a[x + 15][1] ^ a[x + 20][1]
+            c.append((lo, hi))
+        d = []
+        for x in range(5):
+            rl, rh = _rotl64(c[(x + 1) % 5][0], c[(x + 1) % 5][1], 1)
+            d.append((c[(x - 1) % 5][0] ^ rl, c[(x - 1) % 5][1] ^ rh))
+        a = [(a[i][0] ^ d[i % 5][0], a[i][1] ^ d[i % 5][1]) for i in range(25)]
+        b = [None] * 25
+        for x in range(5):
+            for y in range(5):
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rotl64(
+                    a[x + 5 * y][0], a[x + 5 * y][1], _ROT[x][y]
+                )
+        a = []
+        for i in range(25):
+            x, y = i % 5, i // 5
+            b1 = b[(x + 1) % 5 + 5 * y]
+            b2 = b[(x + 2) % 5 + 5 * y]
+            a.append((b[i][0] ^ (~b1[0] & b2[0]), b[i][1] ^ (~b1[1] & b2[1])))
+        a[0] = (a[0][0] ^ jnp.uint32(rc & 0xFFFFFFFF), a[0][1] ^ jnp.uint32(rc >> 32))
+    return a
+
+
+def _absorb_words(words: jnp.ndarray) -> jnp.ndarray:
+    """Absorb pre-padded messages.
+
+    words: (n, W) uint32 with W a multiple of 34 (136-byte blocks, LE words).
+    Returns digests (n, 8) uint32.
+    """
+    n, w = words.shape
+    assert w % _RATE_WORDS == 0
+    zero = jnp.zeros((n,), dtype=U32)
+    lanes = [(zero, zero) for _ in range(25)]
+    for blk in range(w // _RATE_WORDS):
+        base = blk * _RATE_WORDS
+        new = []
+        for i in range(25):
+            lo, hi = lanes[i]
+            if 2 * i < _RATE_WORDS:
+                lo = lo ^ words[:, base + 2 * i]
+                if 2 * i + 1 < _RATE_WORDS:
+                    hi = hi ^ words[:, base + 2 * i + 1]
+            new.append((lo, hi))
+        lanes = _keccak_f(new)
+    out = []
+    for j in range(4):
+        out.append(lanes[j][0])
+        out.append(lanes[j][1])
+    return jnp.stack(out, axis=1)
+
+
+def _pad_block_words(msg_bytes_len: int) -> tuple[int, list[tuple[int, int]]]:
+    """For a fixed message byte length (multiple of 4), return (total_words,
+    [(word_index, xor_constant)]) implementing keccak 0x01...0x80 padding."""
+    rate = 136
+    nblocks = msg_bytes_len // rate + 1
+    total_bytes = nblocks * rate
+    consts = {}
+    consts[msg_bytes_len] = 0x01  # first pad byte
+    consts[total_bytes - 1] = consts.get(total_bytes - 1, 0) | 0x80
+    word_consts = {}
+    for byte_pos, val in consts.items():
+        wi = byte_pos // 4
+        shift = (byte_pos % 4) * 8
+        word_consts[wi] = word_consts.get(wi, 0) | (val << shift)
+    return total_bytes // 4, sorted(word_consts.items())
+
+
+def felts_to_be_words(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Limb tensor (16, ...) -> uint32 LE words of the 32-byte BE encoding.
+
+    Output shape (..., 8): word j covers BE bytes 4j..4j+4 read as LE u32.
+    """
+    words = []
+    for j in range(8):
+        la = limbs[15 - 2 * j]
+        lb = limbs[14 - 2 * j]
+        w = (la >> 8) | ((la & 0xFF) << 8) | ((lb >> 8) << 16) | ((lb & 0xFF) << 24)
+        words.append(w)
+    return jnp.stack(words, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols",))
+def hash_felt_rows(limbs: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+    """Hash each row of felts: limbs shape (16, n_rows, n_cols) -> (n_rows, 8).
+
+    Equivalent of lambdaworks `BatchKeccak256Tree` leaf hashing: Keccak256 of
+    the concatenated 32-byte BE encodings of the row's elements.
+    """
+    n_rows = limbs.shape[1]
+    msg_words = felts_to_be_words(limbs)  # (n_rows, n_cols, 8)
+    msg_words = msg_words.reshape(n_rows, n_cols * 8)
+    total_words, consts = _pad_block_words(n_cols * 32)
+    pad = jnp.zeros((n_rows, total_words - n_cols * 8), dtype=U32)
+    words = jnp.concatenate([msg_words, pad], axis=1)
+    for wi, c in consts:
+        words = words.at[:, wi].set(words[:, wi] ^ jnp.uint32(c))
+    return _absorb_words(words)
+
+
+@jax.jit
+def hash_felt_leaves(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Hash single-felt leaves: (16, n) -> (n, 8) (lambdaworks `Keccak256Tree`)."""
+    return hash_felt_rows(limbs[:, :, None], 1)
+
+
+@jax.jit
+def hash_digest_pairs(digests: jnp.ndarray) -> jnp.ndarray:
+    """Parent nodes: (2k, 8) -> (k, 8), Keccak256(left || right)."""
+    k = digests.shape[0] // 2
+    msg_words = digests.reshape(k, 16)
+    total_words, consts = _pad_block_words(64)
+    pad = jnp.zeros((k, total_words - 16), dtype=U32)
+    words = jnp.concatenate([msg_words, pad], axis=1)
+    for wi, c in consts:
+        words = words.at[:, wi].set(words[:, wi] ^ jnp.uint32(c))
+    return _absorb_words(words)
+
+
+def digest_to_bytes(digest_row: np.ndarray) -> bytes:
+    """(8,) uint32 -> 32 bytes."""
+    return np.asarray(digest_row, dtype="<u4").tobytes()
+
+
+@functools.partial(jax.jit, static_argnames=("grinding_factor",))
+def grinding_batch(challenge_words: jnp.ndarray, start: jnp.ndarray, size: int,
+                   grinding_factor: int):
+    """Search a batch of candidate nonces [start, start+size).
+
+    challenge_words: (8,) uint32 (LE words of the 32-byte challenge).
+    Returns (found: bool, index-in-batch of first hit).
+    Message = challenge || nonce_le_u64 (40 bytes; reference grinding.rs:21-28);
+    condition: trailing_zeros(first 8 digest bytes read as BE u64) >= factor.
+    """
+    idx = jnp.arange(size, dtype=U32)
+    nonce_lo = start.astype(U32) + idx            # low 32 bits (start < 2^32 assumed per batch math)
+    nonce_hi = jnp.broadcast_to((start >> 0) * 0, (size,)).astype(U32)
+    # nonce u64 LE bytes: words 8 = lo, 9 = hi
+    msg = jnp.broadcast_to(challenge_words[None, :], (size, 8))
+    words10 = jnp.concatenate([msg, nonce_lo[:, None], nonce_hi[:, None]], axis=1)
+    total_words, consts = _pad_block_words(40)
+    pad = jnp.zeros((size, total_words - 10), dtype=U32)
+    words = jnp.concatenate([words10, pad], axis=1)
+    for wi, c in consts:
+        words = words.at[:, wi].set(words[:, wi] ^ jnp.uint32(c))
+    digests = _absorb_words(words)  # (size, 8)
+    # first 8 digest bytes = words 0,1 (LE). BE u64 head: byte0 is MSB.
+    # trailing zeros of that u64 = trailing zeros of byte-reversed(words01).
+    # BE-read u64: b0..b7 -> value; its trailing zeros come from b7 upward.
+    w0, w1 = digests[:, 0], digests[:, 1]
+    # byteswap each word and swap words to get the BE-read u64 as (lo', hi')
+    def bswap(w):
+        return ((w & 0xFF) << 24) | ((w & 0xFF00) << 8) | ((w >> 8) & 0xFF00) | (w >> 24)
+    lo64 = bswap(w1)
+    hi64 = bswap(w0)
+    # trailing zeros of u64 (lo64, hi64)
+    def tz32(w):
+        # count trailing zeros of uint32; tz(0) = 32
+        w = w.astype(jnp.uint32)
+        c = jnp.full(w.shape, 32, dtype=jnp.int32)
+        found = w != 0
+        lsb = w & (jnp.uint32(0) - w)
+        # log2 of power of two via float trick is unsafe; use iterative
+        t = jnp.zeros(w.shape, dtype=jnp.int32)
+        for shift, mask in [(16, 0x0000FFFF), (8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                            (2, 0x33333333), (1, 0x55555555)]:
+            cond = (lsb & jnp.uint32(mask)) == 0
+            t = t + jnp.where(cond, shift, 0)
+            lsb = jnp.where(cond, lsb >> shift, lsb)
+        return jnp.where(found, t, c)
+    tz = jnp.where(lo64 != 0, tz32(lo64), 32 + tz32(hi64))
+    ok = tz >= grinding_factor
+    any_ok = jnp.any(ok)
+    first = jnp.argmax(ok)
+    return any_ok, first

@@ -1,0 +1,73 @@
+"""Pure-python Keccak-256 (original Keccak padding 0x01, as in the `sha3`
+Rust crate's `Keccak256`).  Used for the host-side Fiat-Shamir transcript and
+verifier (tiny data; reference: src/starks/grinding.rs:1, lambdaworks-crypto
+DefaultTranscript)."""
+
+from __future__ import annotations
+
+_ROUND_CONSTANTS = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
+    0x000000000000808B, 0x0000000080000001, 0x8000000080008081, 0x8000000000008009,
+    0x000000000000008A, 0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089, 0x8000000000008003,
+    0x8000000000008002, 0x8000000000000080, 0x000000000000800A, 0x800000008000000A,
+    0x8000000080008081, 0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+
+_ROTATIONS = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+
+_MASK = (1 << 64) - 1
+
+
+def _rotl(x: int, n: int) -> int:
+    n %= 64
+    return ((x << n) | (x >> (64 - n))) & _MASK
+
+
+def keccak_f(state: list[int]) -> list[int]:
+    """keccak-f[1600] on a 25-lane state (state[x + 5*y])."""
+    a = state
+    for rc in _ROUND_CONSTANTS:
+        # theta
+        c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _rotl(c[(x + 1) % 5], 1) for x in range(5)]
+        a = [a[i] ^ d[i % 5] for i in range(25)]
+        # rho + pi
+        b = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rotl(a[x + 5 * y], _ROTATIONS[x][y])
+        # chi
+        a = [
+            b[i] ^ ((~b[(i % 5 + 1) % 5 + 5 * (i // 5)]) & b[(i % 5 + 2) % 5 + 5 * (i // 5)])
+            for i in range(25)
+        ]
+        a = [v & _MASK for v in a]
+        # iota
+        a[0] ^= rc
+    return a
+
+
+_RATE = 136  # bytes, for 256-bit output
+
+
+def keccak256(data: bytes) -> bytes:
+    state = [0] * 25
+    # pad: 0x01 ... 0x80 (original Keccak; SHA3 would use 0x06)
+    padlen = _RATE - (len(data) % _RATE)
+    padded = data + b"\x01" + b"\x00" * (padlen - 2) + b"\x80" if padlen >= 2 else (
+        data + b"\x81"
+    )
+    for off in range(0, len(padded), _RATE):
+        block = padded[off : off + _RATE]
+        for i in range(_RATE // 8):
+            state[i] ^= int.from_bytes(block[8 * i : 8 * i + 8], "little")
+        state = keccak_f(state)
+    out = b"".join(state[i].to_bytes(8, "little") for i in range(4))
+    return out

@@ -1,0 +1,85 @@
+"""Merkle trees over batched device Keccak-256.
+
+Mirrors lambdaworks-crypto `MerkleTree` with the two backends used by the
+reference (config.rs:10-20):
+  * ``build_single``  — `Keccak256Tree`: leaf = Keccak256(felt BE bytes)
+  * ``build_batch``   — `BatchKeccak256Tree`: leaf = Keccak256(row of felts, BE)
+Inner node = Keccak256(left_digest || right_digest).  Proof verification uses
+the index-parity rule (even index -> value on the left), matching
+lambdaworks `Proof::verify`.
+
+All leaf/level hashing runs on device; proof extraction gathers the few
+sibling digests per query level-by-level in one device op each.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import keccak_device as kd
+from .keccak_host import keccak256
+
+
+class MerkleTree:
+    def __init__(self, levels):
+        # levels[0] = leaf digests (n, 8) ... levels[-1] = root (1, 8)
+        self.levels = levels
+
+    @classmethod
+    def build_batch(cls, limbs: jnp.ndarray, n_cols: int) -> "MerkleTree":
+        """limbs: (16, n_rows, n_cols) row-leaf tree."""
+        leaves = kd.hash_felt_rows(limbs, n_cols)
+        return cls._build_from_leaves(leaves)
+
+    @classmethod
+    def build_single(cls, limbs: jnp.ndarray) -> "MerkleTree":
+        """limbs: (16, n) single-felt-leaf tree."""
+        leaves = kd.hash_felt_leaves(limbs)
+        return cls._build_from_leaves(leaves)
+
+    @classmethod
+    def _build_from_leaves(cls, leaves: jnp.ndarray) -> "MerkleTree":
+        levels = [leaves]
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = kd.hash_digest_pairs(cur)
+            levels.append(cur)
+        return cls(levels)
+
+    @property
+    def root(self) -> bytes:
+        return kd.digest_to_bytes(np.asarray(self.levels[-1])[0])
+
+    def get_proof(self, index: int) -> list[bytes]:
+        return self.get_proofs([index])[0]
+
+    def get_proofs(self, indices: list[int]) -> list[list[bytes]]:
+        """Authentication paths (sibling digests leaf->root) for each index."""
+        paths = [[] for _ in indices]
+        idxs = list(indices)
+        for level in self.levels[:-1]:
+            sibs = np.asarray(
+                jnp.take(level, jnp.asarray([i ^ 1 for i in idxs]), axis=0)
+            )
+            for q, s in enumerate(sibs):
+                paths[q].append(kd.digest_to_bytes(s))
+            idxs = [i >> 1 for i in idxs]
+        return paths
+
+
+def verify_proof(root: bytes, index: int, leaf_hash: bytes, path: list[bytes]) -> bool:
+    """Host-side path verification (lambdaworks `Proof::verify` semantics)."""
+    h = leaf_hash
+    for sibling in path:
+        if index % 2 == 0:
+            h = keccak256(h + sibling)
+        else:
+            h = keccak256(sibling + h)
+        index >>= 1
+    return h == root
+
+
+def hash_leaf_felts_host(felt_ints: list[int]) -> bytes:
+    """Host leaf hash of a row of felts (BE bytes concatenated)."""
+    return keccak256(b"".join(v.to_bytes(32, "big") for v in felt_ints))
