@@ -57,34 +57,54 @@ def _rotl64(lo, hi, r):
     return nlo, nhi
 
 
+_RC_ARR = np.array(
+    [[rc & 0xFFFFFFFF, rc >> 32] for rc in _RC], dtype=np.uint32
+)  # (24, 2)
+
+
+def _keccak_round(a, rc_lo, rc_hi):
+    """One keccak round on a list of 25 (lo, hi) uint32 array pairs."""
+    c = []
+    for x in range(5):
+        lo = a[x][0] ^ a[x + 5][0] ^ a[x + 10][0] ^ a[x + 15][0] ^ a[x + 20][0]
+        hi = a[x][1] ^ a[x + 5][1] ^ a[x + 10][1] ^ a[x + 15][1] ^ a[x + 20][1]
+        c.append((lo, hi))
+    d = []
+    for x in range(5):
+        rl, rh = _rotl64(c[(x + 1) % 5][0], c[(x + 1) % 5][1], 1)
+        d.append((c[(x - 1) % 5][0] ^ rl, c[(x - 1) % 5][1] ^ rh))
+    a = [(a[i][0] ^ d[i % 5][0], a[i][1] ^ d[i % 5][1]) for i in range(25)]
+    b = [None] * 25
+    for x in range(5):
+        for y in range(5):
+            b[y + 5 * ((2 * x + 3 * y) % 5)] = _rotl64(
+                a[x + 5 * y][0], a[x + 5 * y][1], _ROT[x][y]
+            )
+    out = []
+    for i in range(25):
+        x, y = i % 5, i // 5
+        b1 = b[(x + 1) % 5 + 5 * y]
+        b2 = b[(x + 2) % 5 + 5 * y]
+        out.append((b[i][0] ^ (~b1[0] & b2[0]), b[i][1] ^ (~b1[1] & b2[1])))
+    out[0] = (out[0][0] ^ rc_lo, out[0][1] ^ rc_hi)
+    return out
+
+
 def _keccak_f(lanes):
-    """lanes: list of 25 (lo, hi) uint32 array pairs; returns new list."""
-    a = lanes
-    for rc in _RC:
-        c = []
-        for x in range(5):
-            lo = a[x][0] ^ a[x + 5][0] ^ a[x + 10][0] ^ a[x + 15][0] ^ a[x + 20][0]
-            hi = a[x][1] ^ a[x + 5][1] ^ a[x + 10][1] ^ a[x + 15][1] ^ a[x + 20][1]
-            c.append((lo, hi))
-        d = []
-        for x in range(5):
-            rl, rh = _rotl64(c[(x + 1) % 5][0], c[(x + 1) % 5][1], 1)
-            d.append((c[(x - 1) % 5][0] ^ rl, c[(x - 1) % 5][1] ^ rh))
-        a = [(a[i][0] ^ d[i % 5][0], a[i][1] ^ d[i % 5][1]) for i in range(25)]
-        b = [None] * 25
-        for x in range(5):
-            for y in range(5):
-                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rotl64(
-                    a[x + 5 * y][0], a[x + 5 * y][1], _ROT[x][y]
-                )
-        a = []
-        for i in range(25):
-            x, y = i % 5, i // 5
-            b1 = b[(x + 1) % 5 + 5 * y]
-            b2 = b[(x + 2) % 5 + 5 * y]
-            a.append((b[i][0] ^ (~b1[0] & b2[0]), b[i][1] ^ (~b1[1] & b2[1])))
-        a[0] = (a[0][0] ^ jnp.uint32(rc & 0xFFFFFFFF), a[0][1] ^ jnp.uint32(rc >> 32))
-    return a
+    """lanes: list of 25 (lo, hi) uint32 array pairs; returns new list.
+
+    Rounds run under lax.fori_loop (only the round constant varies) to keep
+    the XLA graph small."""
+    state = jnp.stack([jnp.stack(pair, axis=0) for pair in lanes], axis=0)
+    rc = jnp.asarray(_RC_ARR)
+
+    def body(r, st):
+        a = [(st[i, 0], st[i, 1]) for i in range(25)]
+        out = _keccak_round(a, rc[r, 0], rc[r, 1])
+        return jnp.stack([jnp.stack(pair, axis=0) for pair in out], axis=0)
+
+    state = jax.lax.fori_loop(0, 24, body, state)
+    return [(state[i, 0], state[i, 1]) for i in range(25)]
 
 
 def _absorb_words(words: jnp.ndarray) -> jnp.ndarray:
@@ -115,21 +135,17 @@ def _absorb_words(words: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out, axis=1)
 
 
-def _pad_block_words(msg_bytes_len: int) -> tuple[int, list[tuple[int, int]]]:
-    """For a fixed message byte length (multiple of 4), return (total_words,
-    [(word_index, xor_constant)]) implementing keccak 0x01...0x80 padding."""
+def _pad_vector(msg_bytes_len: int) -> np.ndarray:
+    """For a fixed message byte length (multiple of 4), an (total_words,)
+    uint32 vector to XOR onto the zero-padded message, implementing keccak
+    0x01...0x80 padding."""
     rate = 136
     nblocks = msg_bytes_len // rate + 1
     total_bytes = nblocks * rate
-    consts = {}
-    consts[msg_bytes_len] = 0x01  # first pad byte
-    consts[total_bytes - 1] = consts.get(total_bytes - 1, 0) | 0x80
-    word_consts = {}
-    for byte_pos, val in consts.items():
-        wi = byte_pos // 4
-        shift = (byte_pos % 4) * 8
-        word_consts[wi] = word_consts.get(wi, 0) | (val << shift)
-    return total_bytes // 4, sorted(word_consts.items())
+    buf = np.zeros(total_bytes, dtype=np.uint8)
+    buf[msg_bytes_len] = 0x01
+    buf[total_bytes - 1] |= 0x80
+    return buf.view("<u4").copy()
 
 
 def felts_to_be_words(limbs: jnp.ndarray) -> jnp.ndarray:
@@ -156,11 +172,9 @@ def hash_felt_rows(limbs: jnp.ndarray, n_cols: int) -> jnp.ndarray:
     n_rows = limbs.shape[1]
     msg_words = felts_to_be_words(limbs)  # (n_rows, n_cols, 8)
     msg_words = msg_words.reshape(n_rows, n_cols * 8)
-    total_words, consts = _pad_block_words(n_cols * 32)
-    pad = jnp.zeros((n_rows, total_words - n_cols * 8), dtype=U32)
-    words = jnp.concatenate([msg_words, pad], axis=1)
-    for wi, c in consts:
-        words = words.at[:, wi].set(words[:, wi] ^ jnp.uint32(c))
+    pad_vec = _pad_vector(n_cols * 32)
+    pad = jnp.zeros((n_rows, len(pad_vec) - n_cols * 8), dtype=U32)
+    words = jnp.concatenate([msg_words, pad], axis=1) ^ jnp.asarray(pad_vec)[None, :]
     return _absorb_words(words)
 
 
@@ -175,11 +189,9 @@ def hash_digest_pairs(digests: jnp.ndarray) -> jnp.ndarray:
     """Parent nodes: (2k, 8) -> (k, 8), Keccak256(left || right)."""
     k = digests.shape[0] // 2
     msg_words = digests.reshape(k, 16)
-    total_words, consts = _pad_block_words(64)
-    pad = jnp.zeros((k, total_words - 16), dtype=U32)
-    words = jnp.concatenate([msg_words, pad], axis=1)
-    for wi, c in consts:
-        words = words.at[:, wi].set(words[:, wi] ^ jnp.uint32(c))
+    pad_vec = _pad_vector(64)
+    pad = jnp.zeros((k, len(pad_vec) - 16), dtype=U32)
+    words = jnp.concatenate([msg_words, pad], axis=1) ^ jnp.asarray(pad_vec)[None, :]
     return _absorb_words(words)
 
 
@@ -188,7 +200,7 @@ def digest_to_bytes(digest_row: np.ndarray) -> bytes:
     return np.asarray(digest_row, dtype="<u4").tobytes()
 
 
-@functools.partial(jax.jit, static_argnames=("grinding_factor",))
+@functools.partial(jax.jit, static_argnames=("size", "grinding_factor"))
 def grinding_batch(challenge_words: jnp.ndarray, start: jnp.ndarray, size: int,
                    grinding_factor: int):
     """Search a batch of candidate nonces [start, start+size).
@@ -204,11 +216,9 @@ def grinding_batch(challenge_words: jnp.ndarray, start: jnp.ndarray, size: int,
     # nonce u64 LE bytes: words 8 = lo, 9 = hi
     msg = jnp.broadcast_to(challenge_words[None, :], (size, 8))
     words10 = jnp.concatenate([msg, nonce_lo[:, None], nonce_hi[:, None]], axis=1)
-    total_words, consts = _pad_block_words(40)
-    pad = jnp.zeros((size, total_words - 10), dtype=U32)
-    words = jnp.concatenate([words10, pad], axis=1)
-    for wi, c in consts:
-        words = words.at[:, wi].set(words[:, wi] ^ jnp.uint32(c))
+    pad_vec = _pad_vector(40)
+    pad = jnp.zeros((size, len(pad_vec) - 10), dtype=U32)
+    words = jnp.concatenate([words10, pad], axis=1) ^ jnp.asarray(pad_vec)[None, :]
     digests = _absorb_words(words)  # (size, 8)
     # first 8 digest bytes = words 0,1 (LE). BE u64 head: byte0 is MSB.
     # trailing zeros of that u64 = trailing zeros of byte-reversed(words01).

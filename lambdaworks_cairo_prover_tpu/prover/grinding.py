@@ -28,7 +28,7 @@ def generate_nonce_with_grinding(
     challenge: bytes, grinding_factor: int, batch: int = 1 << 16
 ) -> int:
     """Smallest u64 nonce whose grinding hash meets the factor."""
-    if grinding_factor <= 4:
+    if grinding_factor <= 12:
         # host path: expected few iterations
         nonce = 0
         while leading_zeros_of_nonce(challenge, nonce) < grinding_factor:
