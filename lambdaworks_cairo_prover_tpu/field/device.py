@@ -186,6 +186,25 @@ def square(a: jnp.ndarray) -> jnp.ndarray:
     return mul(a, a)
 
 
+_INT_ONE = None
+
+
+def from_mont(a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery form -> canonical residue limbs (REDC with 1)."""
+    global _INT_ONE
+    if _INT_ONE is None:
+        _INT_ONE = jnp.asarray(from_ints([1], mont=False))
+    return mul(a, _INT_ONE.reshape((N_LIMBS,) + (1,) * (a.ndim - 1)))
+
+
+def to_mont(a: jnp.ndarray) -> jnp.ndarray:
+    """Canonical residue limbs -> Montgomery form (multiply by R^2)."""
+    r2 = jnp.asarray(from_ints([R2], mont=False)).reshape(
+        (N_LIMBS,) + (1,) * (a.ndim - 1)
+    )
+    return mul(a, r2)
+
+
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
     """Boolean mask over batch shape: element == 0."""
     acc = a[0]

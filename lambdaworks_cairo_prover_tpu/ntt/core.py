@@ -127,8 +127,8 @@ def interpolate_fft(evals: jnp.ndarray) -> jnp.ndarray:
 
 
 def scale_poly(coeffs: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """p(factor * X): multiply coeff i by factor^i."""
-    return fd.mul(coeffs, offset_powers(factor, coeffs.shape[1]))
+    """p(factor * X): multiply coeff i by factor^i (last axis)."""
+    return fd.mul(coeffs, offset_powers(factor, coeffs.shape[-1]))
 
 
 def evaluate_offset_fft(
@@ -136,7 +136,7 @@ def evaluate_offset_fft(
 ) -> jnp.ndarray:
     """lambdaworks `evaluate_offset_fft`: evaluations of p on the coset
     offset * <w_N>, N = next_pow2(max(len(coeffs), domain_size)) * blowup."""
-    num_coeffs = coeffs.shape[1]
+    num_coeffs = coeffs.shape[-1]
     base = max(num_coeffs, domain_size or 0)
     n_fft = _next_pow2(base) * blowup
     scaled = scale_poly(coeffs, offset)
@@ -145,7 +145,7 @@ def evaluate_offset_fft(
 
 
 def evaluate_fft(coeffs: jnp.ndarray, blowup: int = 1, domain_size: int | None = None):
-    num_coeffs = coeffs.shape[1]
+    num_coeffs = coeffs.shape[-1]
     base = max(num_coeffs, domain_size or 0)
     n_fft = _next_pow2(base) * blowup
     return ntt(_pad_coeffs(coeffs, n_fft))
@@ -157,10 +157,10 @@ def evaluate_on_lde_domain(
     """Reference `evaluate_polynomial_on_lde_domain` (prover.rs:106-123):
     evaluate then subsample down to domain_size * blowup points."""
     evals = evaluate_offset_fft(coeffs, blowup, domain_size, offset)
-    n = evals.shape[1]
+    n = evals.shape[-1]
     step = n // (domain_size * blowup)
     if step > 1:
-        evals = evals[:, ::step]
+        evals = evals[..., ::step]
     return evals
 
 
@@ -181,14 +181,13 @@ def _next_pow2(x: int) -> int:
 
 
 def _pad_coeffs(coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
-    cur = coeffs.shape[1]
+    cur = coeffs.shape[-1]
     if cur == n:
         return coeffs
     if cur > n:
-        return coeffs[:, :n]
-    return jnp.concatenate(
-        [coeffs, jnp.zeros((N_LIMBS, n - cur), dtype=coeffs.dtype)], axis=1
-    )
+        return coeffs[..., :n]
+    pad = jnp.zeros(coeffs.shape[:-1] + (n - cur,), dtype=coeffs.dtype)
+    return jnp.concatenate([coeffs, pad], axis=-1)
 
 
 def sum_reduce(x: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
@@ -212,6 +211,6 @@ def poly_eval_at(coeffs: jnp.ndarray, point: int) -> jnp.ndarray:
     log-depth modular reduction; replaces Horner (reference frame.rs:79)
     which would serialize on TPU.
     """
-    n = coeffs.shape[1]
+    n = coeffs.shape[-1]
     pw = offset_powers(point, n)
-    return sum_reduce(fd.mul(coeffs, pw), axis=1)
+    return sum_reduce(fd.mul(coeffs, pw), axis=-1)

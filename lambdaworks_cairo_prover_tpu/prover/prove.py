@@ -49,7 +49,7 @@ def _interpolate_and_commit(trace: TraceTable, domain: Domain, transcript):
         trace_polys, domain.blowup_factor, domain.interpolation_domain_size,
         domain.coset_offset,
     )  # (16, m, N)
-    rows = jnp.moveaxis(lde_evals, 1, 2)  # (16, N, m)
+    rows = fd.from_mont(jnp.moveaxis(lde_evals, 1, 2))  # (16, N, m) canonical
     tree = MerkleTree.build_batch(rows, rows.shape[2])
     transcript.append(tree.root)
     return trace_polys, lde_evals, tree
@@ -133,14 +133,15 @@ def prove(
     constraint_evals = evaluate_constraints(
         air, domain, lde_evals, transition_coeffs, boundary_coeffs, rap_challenges
     )
+    # NOTE: deg(H) may exceed composition_poly_degree_bound (the bound only
+    # sets the degree-adjustment exponents); keep the full interpolation and
+    # split even/odd like the reference (prover.rs:251-252).
     h_coeffs = nttc.interpolate_offset_fft(constraint_evals, h)
-    bound = air.composition_poly_degree_bound()
-    h_coeffs = h_coeffs[:, :bound]  # exact: deg(H) < bound
     h1_coeffs = h_coeffs[:, 0::2]
     h2_coeffs = h_coeffs[:, 1::2]
     h1_lde = nttc.evaluate_on_lde_domain(h1_coeffs, domain.blowup_factor, n, h)
     h2_lde = nttc.evaluate_on_lde_domain(h2_coeffs, domain.blowup_factor, n, h)
-    comp_rows = jnp.stack([h1_lde, h2_lde], axis=2)  # (16, N, 2)
+    comp_rows = fd.from_mont(jnp.stack([h1_lde, h2_lde], axis=2))  # (16, N, 2)
     composition_tree = MerkleTree.build_batch(comp_rows, 2)
     transcript.append(composition_tree.root)
     timings["round2"] = time.perf_counter() - t2
@@ -217,7 +218,7 @@ def prove(
         step = evals.shape[1] // ds
         if step > 1:
             evals = evals[:, ::step]
-        tree = MerkleTree.build_single(evals)
+        tree = MerkleTree.build_single(fd.from_mont(evals))
         return _FriLayer(evals, tree, ds)
 
     layer = make_layer(coeffs, offset, domain_size)
