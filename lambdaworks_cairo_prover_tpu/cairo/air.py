@@ -1,0 +1,527 @@
+"""The Cairo AIR: public inputs, RAP auxiliary trace, and the 49/50
+transition constraints (reference src/cairo/air.rs).
+
+Constraints are written once against the FV wrapper and evaluated either over
+the whole LDE domain on device or on the OOD frame on host (see air/values.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..air.base import AIR, AirContext
+from ..air.boundary import BoundaryConstraint, BoundaryConstraints
+from ..air.trace import TraceTable
+from ..field import host as fh
+from ..field.params import P
+from ..proof.options import ProofOptions
+from ..transcript import transcript_to_field
+from .execution_trace import (
+    FRAME_AP, FRAME_DST, FRAME_DST_ADDR, FRAME_FP, FRAME_INST, FRAME_MUL,
+    FRAME_OP0, FRAME_OP0_ADDR, FRAME_OP1, FRAME_OP1_ADDR, FRAME_PC, FRAME_RES,
+    FRAME_SELECTOR, FRAME_T0, FRAME_T1, OFF_DST, OFF_OP0, OFF_OP1,
+)
+
+# flag frame ids
+F_DST_FP = 0
+F_OP_0_FP = 1
+F_OP_1_VAL = 2
+F_OP_1_FP = 3
+F_OP_1_AP = 4
+F_RES_ADD = 5
+F_RES_MUL = 6
+F_PC_ABS = 7
+F_PC_REL = 8
+F_PC_JNZ = 9
+F_AP_ADD = 10
+F_AP_ONE = 11
+F_OPC_CALL = 12
+F_OPC_RET = 13
+F_OPC_AEQ = 14
+
+# rc builtin columns
+RC_0, RC_1, RC_2, RC_3, RC_4, RC_5, RC_6, RC_7 = range(34, 42)
+RC_VALUE = 42
+
+# aux columns (with builtin; subtract BUILTIN_OFFSET without)
+RANGE_CHECK_COL_1 = 43
+RANGE_CHECK_COL_2 = 44
+RANGE_CHECK_COL_3 = 45
+MEMORY_ADDR_SORTED_0 = 46
+MEMORY_ADDR_SORTED_1 = 47
+MEMORY_ADDR_SORTED_2 = 48
+MEMORY_ADDR_SORTED_3 = 49
+MEMORY_VALUES_SORTED_0 = 50
+MEMORY_VALUES_SORTED_1 = 51
+MEMORY_VALUES_SORTED_2 = 52
+MEMORY_VALUES_SORTED_3 = 53
+PERMUTATION_ARGUMENT_COL_0 = 54
+PERMUTATION_ARGUMENT_COL_1 = 55
+PERMUTATION_ARGUMENT_COL_2 = 56
+PERMUTATION_ARGUMENT_COL_3 = 57
+PERMUTATION_ARGUMENT_RANGE_CHECK_COL_1 = 58
+PERMUTATION_ARGUMENT_RANGE_CHECK_COL_2 = 59
+PERMUTATION_ARGUMENT_RANGE_CHECK_COL_3 = 60
+
+MEM_P_TRACE_OFFSET = 17  # ap column
+MEM_A_TRACE_OFFSET = 19  # pc column
+
+BUILTIN_OFFSET = 9
+
+
+@dataclass
+class PublicInputs:
+    pc_init: int
+    ap_init: int
+    fp_init: int
+    pc_final: int
+    ap_final: int
+    range_check_min: int | None
+    range_check_max: int | None
+    memory_segments: dict  # {"range_check"|"output": range}
+    public_memory: dict  # {addr(int): value(int)}
+    num_steps: int
+
+    @classmethod
+    def from_regs_and_mem(cls, register_states, memory, program_size,
+                          memory_segments=None):
+        memory_segments = memory_segments or {}
+        public_memory = {
+            addr: memory.get(addr) for addr in range(1, program_size + 1)
+        }
+        output_range = memory_segments.get("output")
+        if output_range is not None:
+            for addr in output_range:
+                public_memory[addr] = memory.get(addr)
+        first = register_states.rows[0]
+        last = register_states.rows[-1]
+        return cls(
+            pc_init=first.pc,
+            ap_init=first.ap,
+            fp_init=first.fp,
+            pc_final=last.pc,
+            ap_final=last.ap,
+            range_check_min=None,
+            range_check_max=None,
+            memory_segments=memory_segments,
+            public_memory=public_memory,
+            num_steps=register_states.steps,
+        )
+
+    # -- wire format (reference air.rs:223-449) -----------------------------
+
+    def serialize(self) -> bytes:
+        out = bytearray()
+        out.extend((32).to_bytes(8, "big"))
+        for v in (self.pc_init, self.ap_init, self.fp_init, self.pc_final,
+                  self.ap_final):
+            out.extend(fh.to_bytes_be(v % P))
+        for rc in (self.range_check_min, self.range_check_max):
+            if rc is None:
+                out.append(0)
+            else:
+                out.append(1)
+                out.extend(int(rc).to_bytes(2, "big"))
+        out.extend(len(self.memory_segments).to_bytes(8, "big"))
+        for seg, rng in self.memory_segments.items():
+            out.append(0 if seg == "range_check" else 1)
+            out.extend(rng.start.to_bytes(8, "big"))
+            out.extend(rng.stop.to_bytes(8, "big"))
+        out.extend(len(self.public_memory).to_bytes(8, "big"))
+        for addr in sorted(self.public_memory):
+            out.extend(fh.to_bytes_be(addr % P))
+            out.extend(fh.to_bytes_be(self.public_memory[addr] % P))
+        out.extend(self.num_steps.to_bytes(8, "big"))
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "PublicInputs":
+        from ..proof.serde import _Reader
+
+        r = _Reader(data)
+        felt_len = r.u64()
+        pc_init = r.felt(felt_len)
+        ap_init = r.felt(felt_len)
+        fp_init = r.felt(felt_len)
+        pc_final = r.felt(felt_len)
+        ap_final = r.felt(felt_len)
+        rc_min = r.u16() if r.u8() == 1 else None
+        rc_max = r.u16() if r.u8() == 1 else None
+        n_segments = r.u64()
+        memory_segments = {}
+        for _ in range(n_segments):
+            seg_type = r.u8()
+            start = r.u64()
+            end = r.u64()
+            memory_segments["range_check" if seg_type == 0 else "output"] = range(
+                start, end
+            )
+        n_pub = r.u64()
+        public_memory = {}
+        for _ in range(n_pub):
+            addr = r.felt(felt_len)
+            value = r.felt(felt_len)
+            public_memory[addr] = value
+        num_steps = r.u64()
+        return cls(pc_init, ap_init, fp_init, pc_final, ap_final, rc_min,
+                   rc_max, memory_segments, public_memory, num_steps)
+
+
+@dataclass
+class CairoRAPChallenges:
+    alpha_memory: int
+    z_memory: int
+    z_range_check: int
+
+
+class CairoAIR(AIR):
+    """49 (+1 with range-check builtin) transition constraints over the
+    61-column (52 without builtin) Cairo trace (air.rs:574-866)."""
+
+    def __init__(self, trace_length, pub_inputs: PublicInputs,
+                 proof_options: ProofOptions):
+        super().__init__(trace_length, pub_inputs, proof_options)
+        assert trace_length & (trace_length - 1) == 0
+
+        trace_columns = 34 + 3 + 12 + 3
+        transition_degrees = (
+            [2] * 15 + [1]
+            + [3] * 15
+            + [2, 2, 2, 2]
+            + [2, 2, 2, 2]
+            + [2, 2, 2, 2]
+            + [2, 2, 2]
+            + [2, 2, 2]
+        )
+        transition_exemptions = (
+            [0] * 16
+            + [0]
+            + [0, 0, 0]
+            + [1, 1, 1, 1, 0, 0]
+            + [0, 0, 0, 0, 0]
+            + [0, 0, 0, 1]
+            + [0, 0, 0, 1]
+            + [0, 0, 0, 1]
+            + [0, 0, 1]
+            + [0, 0, 0]
+        )
+        num_transition_constraints = 49
+
+        self.has_rc_builtin = bool(pub_inputs.memory_segments)
+        if self.has_rc_builtin:
+            trace_columns += 8 + 1
+            transition_degrees.append(1)
+            transition_exemptions.append(0)
+            num_transition_constraints += 1
+
+        self.context = AirContext(
+            proof_options=proof_options,
+            trace_columns=trace_columns,
+            transition_degrees=transition_degrees,
+            transition_offsets=[0, 1],
+            transition_exemptions=transition_exemptions,
+            num_transition_constraints=num_transition_constraints,
+            num_transition_exemptions=1,
+        )
+
+    def _builtin_offset(self) -> int:
+        return 0 if self.has_rc_builtin else BUILTIN_OFFSET
+
+    def composition_poly_degree_bound(self):
+        return 2 * self.trace_length()
+
+    def number_auxiliary_rap_columns(self):
+        return 12 + 3 + 3
+
+    def build_rap_challenges(self, transcript):
+        return CairoRAPChallenges(
+            alpha_memory=transcript_to_field(transcript),
+            z_memory=transcript_to_field(transcript),
+            z_range_check=transcript_to_field(transcript),
+        )
+
+    # -- auxiliary (RAP) trace ---------------------------------------------
+
+    def build_auxiliary_trace(self, main_trace: TraceTable, rc) -> TraceTable:
+        cols = main_trace.to_int_columns()
+        n = main_trace.n_rows
+
+        # flattened row-major memory access sequences
+        addresses_original = []
+        values_original = []
+        for i in range(n):
+            for c in (FRAME_PC, FRAME_DST_ADDR, FRAME_OP0_ADDR, FRAME_OP1_ADDR):
+                addresses_original.append(cols[c][i])
+            for c in (FRAME_INST, FRAME_DST, FRAME_OP0, FRAME_OP1):
+                values_original.append(cols[c][i])
+
+        addresses, values = self._add_pub_memory_in_public_input_section(
+            addresses_original, values_original
+        )
+        pairs = sorted(zip(addresses, values), key=lambda t: t[0])
+        addresses = [a for a, _ in pairs]
+        values = [v for _, v in pairs]
+
+        z = rc.z_memory
+        alpha = rc.alpha_memory
+        denom = fh.batch_inverse(
+            [(z - (a + alpha * v)) % P for a, v in zip(addresses, values)]
+        )
+        perm = []
+        prod = 1
+        for a, v, d in zip(addresses_original, values_original, denom):
+            prod = prod * ((z - (a + alpha * v)) % P) % P * d % P
+            perm.append(prod)
+
+        # range-check columns
+        offsets_original = []
+        for i in range(n):
+            for c in (OFF_DST, OFF_OP0, OFF_OP1):
+                offsets_original.append(cols[c][i])
+        offsets_sorted = sorted(offsets_original)
+
+        zr = rc.z_range_check
+        denom_rc = fh.batch_inverse([(zr - x) % P for x in offsets_sorted])
+        rc_perm = []
+        prod = 1
+        for x, d in zip(offsets_original, denom_rc):
+            prod = prod * ((zr - x) % P) % P * d % P
+            rc_perm.append(prod)
+
+        aux_cols = [
+            offsets_sorted[0::3], offsets_sorted[1::3], offsets_sorted[2::3],
+            addresses[0::4], addresses[1::4], addresses[2::4], addresses[3::4],
+            values[0::4], values[1::4], values[2::4], values[3::4],
+            perm[0::4], perm[1::4], perm[2::4], perm[3::4],
+            rc_perm[0::3], rc_perm[1::3], rc_perm[2::3],
+        ]
+        return TraceTable.from_int_columns(aux_cols)
+
+    def _add_pub_memory_in_public_input_section(self, addresses, values):
+        pub = self.pub_inputs_
+        a_aux = list(addresses)
+        v_aux = list(values)
+        pub_len = len(pub.public_memory)
+        section = len(addresses) - pub_len
+        pub_addrs = self._get_pub_memory_addrs()
+        for i, addr in enumerate(pub_addrs):
+            a_aux[section + i] = addr
+            v_aux[section + i] = pub.public_memory[addr]
+        return a_aux, v_aux
+
+    def _get_pub_memory_addrs(self):
+        pub = self.pub_inputs_
+        output_range = pub.memory_segments.get("output")
+        pub_len = len(pub.public_memory)
+        if output_range is not None:
+            output_section = output_range.stop - output_range.start
+            program_section = pub_len - output_section
+            return list(range(1, program_section + 1)) + list(output_range)
+        return list(range(1, pub_len + 1))
+
+    # -- boundary constraints ----------------------------------------------
+
+    def boundary_constraints(self, rc) -> BoundaryConstraints:
+        pub = self.pub_inputs_
+        off = self._builtin_offset()
+        final_index = self.trace_length() - 1
+
+        prod = 1
+        for addr, value in pub.public_memory.items():
+            prod = prod * ((rc.z_memory - (addr + rc.alpha_memory * value)) % P) % P
+        permutation_final = (
+            pow(rc.z_memory, len(pub.public_memory), P) * pow(prod, P - 2, P) % P
+        )
+
+        return BoundaryConstraints.from_constraints([
+            BoundaryConstraint(MEM_A_TRACE_OFFSET, 0, pub.pc_init % P),
+            BoundaryConstraint(MEM_P_TRACE_OFFSET, 0, pub.ap_init % P),
+            BoundaryConstraint(MEM_A_TRACE_OFFSET, pub.num_steps - 1, pub.pc_final % P),
+            BoundaryConstraint(MEM_P_TRACE_OFFSET, pub.num_steps - 1, pub.ap_final % P),
+            BoundaryConstraint(PERMUTATION_ARGUMENT_COL_3 - off, final_index,
+                               permutation_final),
+            BoundaryConstraint(PERMUTATION_ARGUMENT_RANGE_CHECK_COL_3 - off,
+                               final_index, 1),
+            BoundaryConstraint(RANGE_CHECK_COL_1 - off, 0, pub.range_check_min),
+            BoundaryConstraint(RANGE_CHECK_COL_3 - off, final_index,
+                               pub.range_check_max),
+        ])
+
+    # -- transition constraints --------------------------------------------
+
+    def compute_transition(self, frame, rc):
+        off = self._builtin_offset()
+        curr = frame.get_row(0)
+        nxt = frame.get_row(1)
+        constraints = [None] * self.context.num_transition_constraints
+
+        one = 1
+        two = 2
+        b15 = 1 << 15
+        b16 = 1 << 16
+        b32 = 1 << 32
+        b48 = 1 << 48
+
+        # instruction bit constraints (0..15)
+        for i in range(15):
+            f = curr[i]
+            constraints[i] = f * (f - one)
+        constraints[15] = curr[15] * 1
+
+        # instruction unpacking (16)
+        f0_squiggle = curr[14]
+        for i in range(13, -1, -1):
+            f0_squiggle = curr[i] + two * f0_squiggle
+        constraints[16] = (
+            curr[OFF_DST] + b16 * curr[OFF_OP0] + b32 * curr[OFF_OP1]
+            + b48 * f0_squiggle - curr[FRAME_INST]
+        )
+
+        # operand constraints (17..19)
+        ap = curr[FRAME_AP]
+        fp = curr[FRAME_FP]
+        pc = curr[FRAME_PC]
+        constraints[17] = (
+            curr[F_DST_FP] * fp + (one - curr[F_DST_FP]) * ap
+            + (curr[OFF_DST] - b15) - curr[FRAME_DST_ADDR]
+        )
+        constraints[18] = (
+            curr[F_OP_0_FP] * fp + (one - curr[F_OP_0_FP]) * ap
+            + (curr[OFF_OP0] - b15) - curr[FRAME_OP0_ADDR]
+        )
+        constraints[19] = (
+            curr[F_OP_1_VAL] * pc + curr[F_OP_1_AP] * ap + curr[F_OP_1_FP] * fp
+            + (one - curr[F_OP_1_VAL] - curr[F_OP_1_AP] - curr[F_OP_1_FP])
+            * curr[FRAME_OP0]
+            + (curr[OFF_OP1] - b15) - curr[FRAME_OP1_ADDR]
+        )
+
+        # register constraints (20..25)
+        inst_size = curr[F_OP_1_VAL] + one
+        constraints[20] = (
+            ap + curr[F_AP_ADD] * curr[FRAME_RES] + curr[F_AP_ONE]
+            + curr[F_OPC_CALL] * two - nxt[FRAME_AP]
+        )
+        constraints[21] = (
+            curr[F_OPC_RET] * curr[FRAME_DST]
+            + curr[F_OPC_CALL] * (ap + two)
+            + (one - curr[F_OPC_RET] - curr[F_OPC_CALL]) * fp
+            - nxt[FRAME_FP]
+        )
+        constraints[22] = (curr[FRAME_T1] - curr[F_PC_JNZ]) * (
+            nxt[FRAME_PC] - (pc + inst_size)
+        )
+        constraints[23] = (
+            curr[FRAME_T0] * (nxt[FRAME_PC] - (pc + curr[FRAME_OP1]))
+            + (one - curr[F_PC_JNZ]) * nxt[FRAME_PC]
+            - (
+                (one - curr[F_PC_ABS] - curr[F_PC_REL] - curr[F_PC_JNZ])
+                * (pc + inst_size)
+                + curr[F_PC_ABS] * curr[FRAME_RES]
+                + curr[F_PC_REL] * (pc + curr[FRAME_RES])
+            )
+        )
+        constraints[24] = curr[F_PC_JNZ] * curr[FRAME_DST] - curr[FRAME_T0]
+        constraints[25] = curr[FRAME_T0] * curr[FRAME_RES] - curr[FRAME_T1]
+
+        # opcode constraints (26..30)
+        constraints[26] = curr[FRAME_MUL] - curr[FRAME_OP0] * curr[FRAME_OP1]
+        constraints[27] = (
+            curr[F_RES_ADD] * (curr[FRAME_OP0] + curr[FRAME_OP1])
+            + curr[F_RES_MUL] * curr[FRAME_MUL]
+            + (one - curr[F_RES_ADD] - curr[F_RES_MUL] - curr[F_PC_JNZ])
+            * curr[FRAME_OP1]
+            - (one - curr[F_PC_JNZ]) * curr[FRAME_RES]
+        )
+        constraints[28] = curr[F_OPC_CALL] * (curr[FRAME_DST] - fp)
+        constraints[29] = curr[F_OPC_CALL] * (
+            curr[FRAME_OP0] - (pc + inst_size)
+        )
+        constraints[30] = curr[F_OPC_AEQ] * (curr[FRAME_DST] - curr[FRAME_RES])
+
+        # selector (applies to 16..30)
+        for i in range(16, 31):
+            constraints[i] = constraints[i] * curr[FRAME_SELECTOR]
+
+        # memory: increasing + consistency (31..38)
+        def c(idx):
+            return curr[idx - off]
+
+        def nx(idx):
+            return nxt[idx - off]
+
+        ms = [c(MEMORY_ADDR_SORTED_0), c(MEMORY_ADDR_SORTED_1),
+              c(MEMORY_ADDR_SORTED_2), c(MEMORY_ADDR_SORTED_3)]
+        vs = [c(MEMORY_VALUES_SORTED_0), c(MEMORY_VALUES_SORTED_1),
+              c(MEMORY_VALUES_SORTED_2), c(MEMORY_VALUES_SORTED_3)]
+        ms_next0 = nx(MEMORY_ADDR_SORTED_0)
+        vs_next0 = nx(MEMORY_VALUES_SORTED_0)
+
+        for k in range(3):
+            constraints[31 + k] = (ms[k] - ms[k + 1]) * (ms[k + 1] - ms[k] - one)
+        constraints[34] = (ms[3] - ms_next0) * (ms_next0 - ms[3] - one)
+        for k in range(3):
+            constraints[35 + k] = (vs[k] - vs[k + 1]) * (ms[k + 1] - ms[k] - one)
+        constraints[38] = (vs[3] - vs_next0) * (ms_next0 - ms[3] - one)
+
+        # memory permutation argument (39..42)
+        z = rc.z_memory
+        alpha = rc.alpha_memory
+        p = [c(PERMUTATION_ARGUMENT_COL_0), c(PERMUTATION_ARGUMENT_COL_1),
+             c(PERMUTATION_ARGUMENT_COL_2), c(PERMUTATION_ARGUMENT_COL_3)]
+        p0_next = nx(PERMUTATION_ARGUMENT_COL_0)
+        a = [curr[FRAME_DST_ADDR], curr[FRAME_OP0_ADDR], curr[FRAME_OP1_ADDR]]
+        v = [curr[FRAME_DST], curr[FRAME_OP0], curr[FRAME_OP1]]
+        a0_next = nxt[FRAME_PC]
+        v0_next = nxt[FRAME_INST]
+
+        for k in range(3):
+            constraints[39 + k] = (
+                (z - (ms[k + 1] + alpha * vs[k + 1])) * p[k + 1]
+                - (z - (a[k] + alpha * v[k])) * p[k]
+            )
+        constraints[42] = (
+            (z - (ms_next0 + alpha * vs_next0)) * p0_next
+            - (z - (a0_next + alpha * v0_next)) * p[3]
+        )
+
+        # range-check: increasing (43..45)
+        r1 = c(RANGE_CHECK_COL_1)
+        r2 = c(RANGE_CHECK_COL_2)
+        r3 = c(RANGE_CHECK_COL_3)
+        r1_next = nx(RANGE_CHECK_COL_1)
+        constraints[43] = (r1 - r2) * (r2 - r1 - one)
+        constraints[44] = (r2 - r3) * (r3 - r2 - one)
+        constraints[45] = (r3 - r1_next) * (r1_next - r3 - one)
+
+        # range-check permutation argument (46..48)
+        zr = rc.z_range_check
+        q = [c(PERMUTATION_ARGUMENT_RANGE_CHECK_COL_1),
+             c(PERMUTATION_ARGUMENT_RANGE_CHECK_COL_2),
+             c(PERMUTATION_ARGUMENT_RANGE_CHECK_COL_3)]
+        q0_next = nx(PERMUTATION_ARGUMENT_RANGE_CHECK_COL_1)
+        constraints[46] = (zr - r2) * q[1] - (zr - curr[OFF_OP0]) * q[0]
+        constraints[47] = (zr - r3) * q[2] - (zr - curr[OFF_OP1]) * q[1]
+        constraints[48] = (zr - r1_next) * q0_next - (zr - nxt[OFF_DST]) * q[2]
+
+        if self.has_rc_builtin:
+            acc = curr[RC_0]
+            for k in range(1, 8):
+                acc = acc + curr[RC_0 + k] * (1 << (16 * k))
+            constraints[49] = acc - curr[RC_VALUE]
+
+        return constraints
+
+
+def generate_cairo_proof(trace: TraceTable, pub_inputs: PublicInputs,
+                         proof_options: ProofOptions):
+    from ..prover.prove import prove
+
+    return prove(trace, pub_inputs, proof_options, CairoAIR)
+
+
+def verify_cairo_proof(proof, pub_inputs: PublicInputs,
+                       proof_options: ProofOptions) -> bool:
+    from ..verifier.verify import verify
+
+    return verify(proof, pub_inputs, proof_options, CairoAIR)

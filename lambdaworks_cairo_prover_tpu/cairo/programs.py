@@ -1,0 +1,174 @@
+"""Hand-assembled Cairo0 programs for tests and benchmarks.
+
+The reference repo ships `.cairo` sources compiled by `cairo-compile`
+(cairo_programs/cairo0/*.cairo); this environment has no Cairo compiler, so
+the canonical workloads (recursive fibonacci, mul, range-check) are assembled
+directly from instruction encodings (decode.py).  The resulting programs are
+semantically equivalent Cairo machine programs runnable by any Cairo VM."""
+
+from __future__ import annotations
+
+from ..field.params import P
+from .decode import (
+    AP_ADD1, AP_REGULAR, OP1_SRC_AP, OP1_SRC_FP, OP1_SRC_IMM, OP1_SRC_OP0,
+    OPCODE_ASSERT_EQ, OPCODE_CALL, OPCODE_NOP, OPCODE_RET, PC_JNZ, PC_JUMP,
+    PC_JUMP_REL, PC_REGULAR, RES_ADD, RES_MUL, RES_OP1, encode_instruction,
+)
+from .vm import Program
+
+RET = encode_instruction(
+    off_dst=-2, off_op0=-1, off_op1=-1, dst_reg=1, op0_reg=1, op1_src=OP1_SRC_FP,
+    res_logic=RES_OP1, pc_update=PC_JUMP, ap_update=AP_REGULAR, opcode=OPCODE_RET,
+)
+
+
+def push_imm(value: int) -> list[int]:
+    """[ap] = value; ap++   (two cells: instruction + immediate)."""
+    inst = encode_instruction(
+        off_dst=0, off_op0=-1, off_op1=1, dst_reg=0, op0_reg=1,
+        op1_src=OP1_SRC_IMM, res_logic=RES_OP1, pc_update=PC_REGULAR,
+        ap_update=AP_ADD1, opcode=OPCODE_ASSERT_EQ,
+    )
+    return [inst, value % P]
+
+
+def copy_fp(off: int) -> int:
+    """[ap] = [fp + off]; ap++"""
+    return encode_instruction(
+        off_dst=0, off_op0=-1, off_op1=off, dst_reg=0, op0_reg=1,
+        op1_src=OP1_SRC_FP, res_logic=RES_OP1, pc_update=PC_REGULAR,
+        ap_update=AP_ADD1, opcode=OPCODE_ASSERT_EQ,
+    )
+
+
+def add_fp_fp(off0: int, off1: int) -> int:
+    """[ap] = [fp + off0] + [fp + off1]; ap++"""
+    return encode_instruction(
+        off_dst=0, off_op0=off0, off_op1=off1, dst_reg=0, op0_reg=1,
+        op1_src=OP1_SRC_FP, res_logic=RES_ADD, pc_update=PC_REGULAR,
+        ap_update=AP_ADD1, opcode=OPCODE_ASSERT_EQ,
+    )
+
+
+def mul_ap_ap(off0: int, off1: int) -> int:
+    """[ap] = [ap + off0] * [ap + off1]; ap++"""
+    return encode_instruction(
+        off_dst=0, off_op0=off0, off_op1=off1, dst_reg=0, op0_reg=0,
+        op1_src=OP1_SRC_AP, res_logic=RES_MUL, pc_update=PC_REGULAR,
+        ap_update=AP_ADD1, opcode=OPCODE_ASSERT_EQ,
+    )
+
+
+def add_fp_imm(off0: int, imm: int) -> list[int]:
+    """[ap] = [fp + off0] + imm; ap++"""
+    inst = encode_instruction(
+        off_dst=0, off_op0=off0, off_op1=1, dst_reg=0, op0_reg=1,
+        op1_src=OP1_SRC_IMM, res_logic=RES_ADD, pc_update=PC_REGULAR,
+        ap_update=AP_ADD1, opcode=OPCODE_ASSERT_EQ,
+    )
+    return [inst, imm % P]
+
+
+def call_rel(offset: int) -> list[int]:
+    inst = encode_instruction(
+        off_dst=0, off_op0=1, off_op1=1, dst_reg=0, op0_reg=0,
+        op1_src=OP1_SRC_IMM, res_logic=RES_OP1, pc_update=PC_JUMP_REL,
+        ap_update=AP_REGULAR, opcode=OPCODE_CALL,
+    )
+    return [inst, offset % P]
+
+
+def jnz_fp(dst_off: int, jump_offset: int) -> list[int]:
+    """jmp rel jump_offset if [fp + dst_off] != 0"""
+    inst = encode_instruction(
+        off_dst=dst_off, off_op0=-1, off_op1=1, dst_reg=1, op0_reg=1,
+        op1_src=OP1_SRC_IMM, res_logic=RES_OP1, pc_update=PC_JNZ,
+        ap_update=AP_REGULAR, opcode=OPCODE_NOP,
+    )
+    return [inst, jump_offset % P]
+
+
+def assert_deref_ap(ptr_off: int, val_off: int) -> int:
+    """[[ap + ptr_off]] = [ap + val_off]  (writes through a pointer).
+
+    dst = [ap + val_off]; op0 = [ap + ptr_off] (an address); op1 = [op0 + 0].
+    """
+    return encode_instruction(
+        off_dst=val_off, off_op0=ptr_off, off_op1=0, dst_reg=0, op0_reg=0,
+        op1_src=OP1_SRC_OP0, res_logic=RES_OP1, pc_update=PC_REGULAR,
+        ap_update=AP_REGULAR, opcode=OPCODE_ASSERT_EQ,
+    )
+
+
+def fibonacci_program(n: int) -> Program:
+    """Recursive fib(1, 1, n), mirroring cairo_programs/cairo0/fibonacci_*.cairo."""
+    data: list[int] = []
+    # main:
+    data += push_imm(1)            # 0,1
+    data += push_imm(1)            # 2,3
+    data += push_imm(n)            # 4,5
+    data += call_rel(3)            # 6,7 -> fib at 9
+    data += [RET]                  # 8
+    fib = len(data)                # 9
+    assert fib == 9
+    data += jnz_fp(-3, 4)          # 9,10 -> body at 13
+    data += [copy_fp(-4)]          # 11
+    data += [RET]                  # 12
+    # body:
+    data += [copy_fp(-4)]          # 13: first' = second
+    data += [add_fp_fp(-5, -4)]    # 14: second' = first + second
+    data += add_fp_imm(-3, P - 1)  # 15,16: n - 1
+    data += call_rel(9 - len(data))  # 17,18 -> fib
+    data += [RET]                  # 19
+    return Program(data=data, main_pc=0, builtins=[])
+
+
+def simple_program() -> Program:
+    """let x=1; let y=2; assert x+y = 3  (cairo0/simple_program.cairo spirit)."""
+    data: list[int] = []
+    data += push_imm(1)
+    data += push_imm(2)
+    # [ap] = [ap-2] + [ap-1]; ap++
+    data += [
+        encode_instruction(
+            off_dst=0, off_op0=-2, off_op1=-1, dst_reg=0, op0_reg=0,
+            op1_src=OP1_SRC_AP, res_logic=RES_ADD, pc_update=PC_REGULAR,
+            ap_update=AP_ADD1, opcode=OPCODE_ASSERT_EQ,
+        )
+    ]
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=[])
+
+
+def mul_program() -> Program:
+    """let x=2; let y=3; assert x*y = 6."""
+    data: list[int] = []
+    data += push_imm(2)
+    data += push_imm(3)
+    data += [mul_ap_ap(-2, -1)]
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=[])
+
+
+def rc_program(values=(250, 77, 1 << 100)) -> Program:
+    """Writes values into the range-check builtin segment
+    (cairo0/rc_program.cairo spirit: main{range_check_ptr}).
+
+    Stack layout at main: [fp-3] = range_check base pointer."""
+    data: list[int] = []
+    data += [copy_fp(-3)]           # [ap] = rc_ptr; ap++
+    for i, v in enumerate(values):
+        data += push_imm(v)         # [ap] = v; ap++
+        # [[rc_ptr + i]] = v:  op0 = rc base copy at some ap slot
+        # keep pointer at a known relative position: after pushes, the rc ptr
+        # copy sits at ap - (2*i + 2) ... simpler: re-copy pointer each time.
+        data += [
+            encode_instruction(
+                off_dst=-1, off_op0=-2 - i, off_op1=i, dst_reg=0,
+                op0_reg=0, op1_src=OP1_SRC_OP0, res_logic=RES_OP1,
+                pc_update=PC_REGULAR, ap_update=AP_REGULAR,
+                opcode=OPCODE_ASSERT_EQ,
+            )
+        ]
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=["range_check"])

@@ -1,0 +1,71 @@
+"""Cairo program runner glue (reference src/cairo/runner/run.rs:242-263).
+
+`generate_prover_args` runs a program on the built-in VM, builds public
+inputs and the main trace.  Programs can come from compiled Cairo0 JSON
+(`Program.from_json`) or from the hand-assembled generators in programs.py.
+Raw VM output (binary `.trace`/`.memory` files produced by cairo-vm) can be
+ingested with `generate_prover_args_from_trace_files`."""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from .air import PublicInputs
+from .cairo_mem import CairoMemory
+from .execution_trace import build_main_trace
+from .register_states import RegisterStates
+from .vm import Program, run_program
+
+
+class CairoVersion(Enum):
+    V0 = 0
+    V1 = 1
+
+
+class CairoLayout(Enum):
+    Plain = "plain"
+    Small = "small"
+    Dex = "dex"
+    Recursive = "recursive"
+    Starknet = "starknet"
+    StarknetWithKeccak = "starknet_with_keccak"
+    RecursiveLargeOutput = "recursive_large_output"
+    AllCairo = "all_cairo"
+    AllSolidity = "all_solidity"
+    Dynamic = "dynamic"
+
+
+def generate_prover_args(program: Program | bytes | str, output_range=None):
+    """Returns (main_trace: TraceTable, pub_inputs: PublicInputs)."""
+    if not isinstance(program, Program):
+        program = Program.from_json(program)
+    register_states, memory, program_size, builtin_ranges = run_program(program)
+
+    memory_segments = {}
+    if "range_check" in builtin_ranges:
+        rng = builtin_ranges["range_check"]
+        memory_segments["range_check"] = range(rng.start, rng.stop)
+    if output_range is not None:
+        memory_segments["output"] = output_range
+    elif "output" in builtin_ranges:
+        memory_segments["output"] = builtin_ranges["output"]
+
+    pub_inputs = PublicInputs.from_regs_and_mem(
+        register_states, memory, program_size, memory_segments
+    )
+    main_trace = build_main_trace(register_states, memory, pub_inputs)
+    return main_trace, pub_inputs
+
+
+def generate_prover_args_from_trace_files(
+    trace_path: str, memory_path: str, program_size: int, memory_segments=None
+):
+    """Ingest cairo-vm binary trace/memory files (register_states.rs:51-78,
+    cairo_mem.rs:35-61 formats)."""
+    register_states = RegisterStates.from_file(trace_path)
+    memory = CairoMemory.from_file(memory_path)
+    pub_inputs = PublicInputs.from_regs_and_mem(
+        register_states, memory, program_size, memory_segments or {}
+    )
+    main_trace = build_main_trace(register_states, memory, pub_inputs)
+    return main_trace, pub_inputs
