@@ -41,6 +41,17 @@ class AIR:
         return TraceTable.empty()
 
     def build_rap_challenges(self, transcript):
+        """Returns a tuple of ints (transcript field draws)."""
+        return ()
+
+    def wrap_rap_challenges(self, ctx, rap):
+        """Lift the rap-challenge tuple (ints or limb arrays) into FVs bound
+        to an evaluation context, for use inside compute_transition."""
+        return tuple(ctx.lift(v) for v in rap)
+
+    def kernel_cache_key(self):
+        """Hashable key distinguishing pub-input-dependent kernel structure
+        (boundary steps, exemptions); override when those vary."""
         return ()
 
     def number_auxiliary_rap_columns(self) -> int:

@@ -43,10 +43,11 @@ class FibonacciRAP(AIR):
         return 1
 
     def build_rap_challenges(self, transcript):
-        return transcript_to_field(transcript)
+        return (transcript_to_field(transcript),)
 
-    def build_auxiliary_trace(self, main_trace: TraceTable, gamma) -> TraceTable:
+    def build_auxiliary_trace(self, main_trace: TraceTable, rap) -> TraceTable:
         # z_0 = 1;  z_{i+1} = z_i * (a_i + gamma) / (b_i + gamma)
+        gamma = rap[0]
         cols = main_trace.to_int_columns()
         not_perm, perm = cols[0], cols[1]
         n = main_trace.n_rows
@@ -57,7 +58,8 @@ class FibonacciRAP(AIR):
             aux.append(aux[i - 1] * ((not_perm[i - 1] + gamma) % P) % P * inv_denoms[i - 1] % P)
         return TraceTable.from_int_columns([aux])
 
-    def compute_transition(self, frame, gamma):
+    def compute_transition(self, frame, rap):
+        gamma = rap[0]
         first = frame.get_row(0)
         second = frame.get_row(1)
         third = frame.get_row(2)

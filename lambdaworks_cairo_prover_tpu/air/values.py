@@ -76,6 +76,12 @@ class DeviceCtx:
     def wrap(self, arr) -> FV:
         return FV(self, arr)
 
+    def lift(self, v) -> FV:
+        """int -> baked constant; array -> runtime value."""
+        if isinstance(v, int):
+            return self.const(v)
+        return FV(self, v.reshape((16,) + (1,) * len(self.batch_shape)))
+
     add = staticmethod(fd.add)
     sub = staticmethod(fd.sub)
     mul = staticmethod(fd.mul)
@@ -89,6 +95,9 @@ class HostCtx:
         return FV(self, c % P)
 
     def wrap(self, v: int) -> FV:
+        return FV(self, v % P)
+
+    def lift(self, v) -> FV:
         return FV(self, v % P)
 
     @staticmethod

@@ -167,11 +167,13 @@ class PublicInputs:
                    rc_max, memory_segments, public_memory, num_steps)
 
 
-@dataclass
-class CairoRAPChallenges:
-    alpha_memory: int
-    z_memory: int
-    z_range_check: int
+# RAP challenge tuple layout: (alpha_memory, z_memory, z_range_check)
+RAP_ALPHA_MEMORY, RAP_Z_MEMORY, RAP_Z_RANGE_CHECK = 0, 1, 2
+
+
+def CairoRAPChallenges(alpha_memory, z_memory, z_range_check):
+    """Compat constructor: rap challenges are a plain tuple."""
+    return (alpha_memory, z_memory, z_range_check)
 
 
 class CairoAIR(AIR):
@@ -234,11 +236,15 @@ class CairoAIR(AIR):
         return 12 + 3 + 3
 
     def build_rap_challenges(self, transcript):
-        return CairoRAPChallenges(
-            alpha_memory=transcript_to_field(transcript),
-            z_memory=transcript_to_field(transcript),
-            z_range_check=transcript_to_field(transcript),
+        return (
+            transcript_to_field(transcript),   # alpha_memory
+            transcript_to_field(transcript),   # z_memory
+            transcript_to_field(transcript),   # z_range_check
         )
+
+    def kernel_cache_key(self):
+        return (self.pub_inputs_.num_steps, self.has_rc_builtin,
+                len(self.pub_inputs_.public_memory))
 
     # -- auxiliary (RAP) trace ---------------------------------------------
 
@@ -262,8 +268,7 @@ class CairoAIR(AIR):
         addresses = [a for a, _ in pairs]
         values = [v for _, v in pairs]
 
-        z = rc.z_memory
-        alpha = rc.alpha_memory
+        alpha, z = rc[RAP_ALPHA_MEMORY], rc[RAP_Z_MEMORY]
         denom = fh.batch_inverse(
             [(z - (a + alpha * v)) % P for a, v in zip(addresses, values)]
         )
@@ -280,7 +285,7 @@ class CairoAIR(AIR):
                 offsets_original.append(cols[c][i])
         offsets_sorted = sorted(offsets_original)
 
-        zr = rc.z_range_check
+        zr = rc[RAP_Z_RANGE_CHECK]
         denom_rc = fh.batch_inverse([(zr - x) % P for x in offsets_sorted])
         rc_perm = []
         prod = 1
@@ -326,11 +331,12 @@ class CairoAIR(AIR):
         off = self._builtin_offset()
         final_index = self.trace_length() - 1
 
+        alpha, z = rc[RAP_ALPHA_MEMORY], rc[RAP_Z_MEMORY]
         prod = 1
         for addr, value in pub.public_memory.items():
-            prod = prod * ((rc.z_memory - (addr + rc.alpha_memory * value)) % P) % P
+            prod = prod * ((z - (addr + alpha * value)) % P) % P
         permutation_final = (
-            pow(rc.z_memory, len(pub.public_memory), P) * pow(prod, P - 2, P) % P
+            pow(z, len(pub.public_memory), P) * pow(prod, P - 2, P) % P
         )
 
         return BoundaryConstraints.from_constraints([
@@ -465,8 +471,7 @@ class CairoAIR(AIR):
         constraints[38] = (vs[3] - vs_next0) * (ms_next0 - ms[3] - one)
 
         # memory permutation argument (39..42)
-        z = rc.z_memory
-        alpha = rc.alpha_memory
+        alpha, z = rc[RAP_ALPHA_MEMORY], rc[RAP_Z_MEMORY]
         p = [c(PERMUTATION_ARGUMENT_COL_0), c(PERMUTATION_ARGUMENT_COL_1),
              c(PERMUTATION_ARGUMENT_COL_2), c(PERMUTATION_ARGUMENT_COL_3)]
         p0_next = nx(PERMUTATION_ARGUMENT_COL_0)
@@ -495,7 +500,7 @@ class CairoAIR(AIR):
         constraints[45] = (r3 - r1_next) * (r1_next - r3 - one)
 
         # range-check permutation argument (46..48)
-        zr = rc.z_range_check
+        zr = rc[RAP_Z_RANGE_CHECK]
         q = [c(PERMUTATION_ARGUMENT_RANGE_CHECK_COL_1),
              c(PERMUTATION_ARGUMENT_RANGE_CHECK_COL_2),
              c(PERMUTATION_ARGUMENT_RANGE_CHECK_COL_3)]

@@ -143,65 +143,125 @@ def neg(a: jnp.ndarray) -> jnp.ndarray:
     return sub(jnp.zeros_like(a), a)
 
 
+# anti-diagonal gather indices: LO[i, k] selects P[i, (k - i) mod 32] so that
+# summing over i yields column k of the long product (zeros where out of
+# range thanks to the 16..31 zero padding of j).
+_DIAG_LO_IDX = np.zeros((N_LIMBS, 33), dtype=np.int32)
+_DIAG_HI_IDX = np.zeros((N_LIMBS, 33), dtype=np.int32)
+for _i in range(N_LIMBS):
+    for _k in range(33):
+        _DIAG_LO_IDX[_i, _k] = (_k - _i) % 33
+        _DIAG_HI_IDX[_i, _k] = (_k - 1 - _i) % 33
+
+_PINV_ARR = None  # lazy numpy (16,) of -p^-1 mod 2^256 limbs
+
+
+def _long_mul_columns(a, b, n_cols: int):
+    """Lazy column sums of the long product of two 16-limb tensors.
+
+    a, b: (16, ...) with limbs < 2^16.  Returns (n_cols, ...) uint32 with
+    column k = sum_{i+j=k} a_i*b_j (each column < 32 * 2^16 < 2^21).
+    Built from ONE broadcast outer product + two anti-diagonal gathers —
+    this keeps the XLA graph tiny compared to an unrolled schoolbook.
+    """
+    prod = a[:, None] * b[None, :]  # (16, 16, ...) exact u32 products
+    lo = prod & MASK
+    hi = prod >> 16
+    pad_shape = (N_LIMBS, 33 - N_LIMBS) + prod.shape[2:]
+    zeros_pad = jnp.zeros(pad_shape, dtype=U32)
+    lo = jnp.concatenate([lo, zeros_pad], axis=1)
+    hi = jnp.concatenate([hi, zeros_pad], axis=1)
+    extra = (1,) * (prod.ndim - 2)
+    lo_idx = jnp.asarray(_DIAG_LO_IDX[:, :n_cols]).reshape(
+        (N_LIMBS, n_cols) + extra
+    )
+    hi_idx = jnp.asarray(_DIAG_HI_IDX[:, :n_cols]).reshape(
+        (N_LIMBS, n_cols) + extra
+    )
+    lo_al = jnp.take_along_axis(lo, lo_idx, axis=1)
+    hi_al = jnp.take_along_axis(hi, hi_idx, axis=1)
+    cols = jnp.sum(lo_al, axis=0) + jnp.sum(hi_al, axis=0)
+    # column 0 must not receive hi contributions ((k-1-i) mod 32 wraps)
+    return cols
+
+
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery modular multiplication REDC(a*b); canonical output.
 
-    Schoolbook 16x16 product into 32 lazy uint32 columns (each 16x16-bit
-    product is split into lo/hi halves so columns stay < 2^21), one carry
-    sweep, then 16 Montgomery steps exploiting m_i = (-T_i) mod 2^16 and the
-    sparse prime limbs {1@0, 17@12, 2048@15}.
+    Long product via one outer product + anti-diagonal gathers, then
+    single-shot Montgomery reduction: m = T_lo * (-p^-1) mod 2^256 and
+    (T + m*p) >> 256 using the sparse prime limbs {1@0, 17@12, 2048@15}.
     """
-    zero = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=U32)
-    cols = [zero] * 33
+    global _PINV_ARR
+    from .params import P_INV_NEG_LIMBS
+
+    if _PINV_ARR is None:
+        _PINV_ARR = np.array(P_INV_NEG_LIMBS, dtype=np.uint32)
+
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    def _bcast(x):
+        pad = len(bshape) - (x.ndim - 1)
+        x = x.reshape((N_LIMBS,) + (1,) * pad + x.shape[1:])
+        return jnp.broadcast_to(x, (N_LIMBS,) + bshape)
+
+    a = _bcast(a)
+    b = _bcast(b)
+
+    t_cols = _long_mul_columns(a, b, 33)  # lazy columns of a*b (<2^21 each)
+    # hi-part of column 0 wrap: indices (0-1-i) mod 32 >= 16 → zero pad ✓
+
+    t = _carry_propagate(list(t_cols), 33)
+
+    # m = T_lo * pinv mod 2^256, as clean 16-bit limbs
+    pinv = jnp.asarray(_PINV_ARR).reshape((N_LIMBS,) + (1,) * len(bshape))
+    pinv = jnp.broadcast_to(pinv, (N_LIMBS,) + bshape)
+    t_lo = jnp.stack(t[:N_LIMBS], axis=0)
+    m_cols = _long_mul_columns(t_lo, pinv, N_LIMBS)
+    m = _carry_propagate(list(m_cols), N_LIMBS)  # mod 2^256: drop top carry
+
+    # T + m*p with p = 1 + 17*2^192 + 2048*2^240 (limbs 0, 12, 15)
+    acc = list(t)
     for i in range(N_LIMBS):
-        ai = a[i]
-        for j in range(N_LIMBS):
-            pr = ai * b[j]
-            cols[i + j] = cols[i + j] + (pr & MASK)
-            cols[i + j + 1] = cols[i + j + 1] + (pr >> 16)
+        mi = m[i]
+        acc[i] = acc[i] + mi
+        p17 = mi * jnp.uint32(17)
+        acc[i + 12] = acc[i + 12] + (p17 & MASK)
+        acc[i + 13] = acc[i + 13] + (p17 >> 16)
+        p2048 = mi * jnp.uint32(2048)
+        acc[i + 15] = acc[i + 15] + (p2048 & MASK)
+        acc[i + 16] = acc[i + 16] + (p2048 >> 16)
 
-    t = _carry_propagate(cols, 33)
-
-    # REDC: 16 steps; after step i, column i is zero (mod 2^16).
-    for i in range(N_LIMBS):
-        ti = t[i]
-        m = (jnp.uint32(0x10000) - ti) & MASK      # (-T_i) mod 2^16
-        # column i: ti + m*1 = 0 or 0x10000 -> carry (1 unless ti == 0)
-        t[i + 1] = t[i + 1] + ((ti + m) >> 16)
-        t[i + 12] = t[i + 12] + m * jnp.uint32(17)
-        pr = m * jnp.uint32(2048)
-        t[i + 15] = t[i + 15] + (pr & MASK)
-        t[i + 16] = t[i + 16] + (pr >> 16)
-        # keep next column clean for the next iteration's m
-        c = t[i + 1] >> 16
-        t[i + 1] = t[i + 1] & MASK
-        t[i + 2] = t[i + 2] + c
-
-    limbs = _carry_propagate(t[N_LIMBS:], N_LIMBS + 1)
-    # result < 2p < 2^253 so limbs[16] == 0; drop it.
-    return _stack(_cond_sub_p(limbs[:N_LIMBS]))
+    # low 256 bits of acc are ≡ 0; carries from columns 0..15 must flow into
+    # the high half.  Columns are lazy (< 2^21 + additions), so propagate.
+    limbs = _carry_propagate(acc, 34)
+    # (T + m*p) / 2^256 < 2p: take limbs 16..32 (limb 33 is zero)
+    return _stack(_cond_sub_p(limbs[N_LIMBS : 2 * N_LIMBS]))
 
 
 def square(a: jnp.ndarray) -> jnp.ndarray:
     return mul(a, a)
 
 
-_INT_ONE = None
+_INT_ONE_NP = None
+_R2_NP = None
 
 
 def from_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery form -> canonical residue limbs (REDC with 1)."""
-    global _INT_ONE
-    if _INT_ONE is None:
-        _INT_ONE = jnp.asarray(from_ints([1], mont=False))
-    return mul(a, _INT_ONE.reshape((N_LIMBS,) + (1,) * (a.ndim - 1)))
+    global _INT_ONE_NP
+    if _INT_ONE_NP is None:
+        _INT_ONE_NP = from_ints([1], mont=False)  # numpy: trace-safe cache
+    one = jnp.asarray(_INT_ONE_NP).reshape((N_LIMBS,) + (1,) * (a.ndim - 1))
+    return mul(a, one)
 
 
 def to_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Canonical residue limbs -> Montgomery form (multiply by R^2)."""
-    r2 = jnp.asarray(from_ints([R2], mont=False)).reshape(
-        (N_LIMBS,) + (1,) * (a.ndim - 1)
-    )
+    global _R2_NP
+    if _R2_NP is None:
+        _R2_NP = from_ints([R2], mont=False)
+    r2 = jnp.asarray(_R2_NP).reshape((N_LIMBS,) + (1,) * (a.ndim - 1))
     return mul(a, r2)
 
 
@@ -327,17 +387,20 @@ def powers(base_int: int, n: int) -> jnp.ndarray:
     """[1, b, b^2, ..., b^(n-1)] as (16, n) Montgomery limbs (device).
 
     Built by repeated doubling: log2(n) device multiplies over growing arrays.
+    Runs under `ensure_compile_time_eval` so results are concrete even when
+    first requested during a jit trace (they get cached globally).
     """
     if n <= 0:
         return zeros((0,))
-    cur = jnp.asarray(from_ints([1]))
-    length = 1
-    b_pow = base_int % P  # b^(length)
-    while length < n:
-        take = min(length, n - length)
-        factor = jnp.asarray(from_int(b_pow))
-        nxt = mul(cur[:, :take], factor)
-        cur = jnp.concatenate([cur, nxt], axis=1)
-        b_pow = (b_pow * b_pow) % P
-        length *= 2
-    return cur[:, :n]
+    with jax.ensure_compile_time_eval():
+        cur = jnp.asarray(from_ints([1]))
+        length = 1
+        b_pow = base_int % P  # b^(length)
+        while length < n:
+            take = min(length, n - length)
+            factor = jnp.asarray(from_int(b_pow))
+            nxt = mul(cur[:, :take], factor)
+            cur = jnp.concatenate([cur, nxt], axis=1)
+            b_pow = (b_pow * b_pow) % P
+            length *= 2
+        return cur[:, :n]

@@ -27,6 +27,11 @@ R_INV = pow(R, P - 2, P)
 P_LIMBS = [(P >> (LIMB_BITS * i)) & LIMB_MASK for i in range(N_LIMBS)]
 assert P_LIMBS == [1] + [0] * 11 + [17, 0, 0, 2048]
 
+# -p^-1 mod 2^256 (for single-shot Montgomery reduction m = T_lo * PINV).
+P_INV_NEG = (-pow(P, -1, 1 << 256)) % (1 << 256)
+P_INV_NEG_LIMBS = [(P_INV_NEG >> (LIMB_BITS * i)) & LIMB_MASK
+                   for i in range(N_LIMBS)]
+
 # Two-adicity: p - 1 = 2^192 * (2^59 + 17).
 TWO_ADICITY = 192
 # Canonical 2^192-th primitive root of unity used by lambdaworks-math

@@ -38,8 +38,8 @@ def _bitrev_indices(log_n: int) -> jnp.ndarray:
         rev = np.zeros(n, dtype=np.int32)
         for b in range(log_n):
             rev |= ((idx >> b) & 1) << (log_n - 1 - b)
-        _bitrev_cache[log_n] = jnp.asarray(rev)
-    return _bitrev_cache[log_n]
+        _bitrev_cache[log_n] = rev  # numpy: safe to lift inside any trace
+    return jnp.asarray(_bitrev_cache[log_n])
 
 
 def _stage_twiddles(log_n: int, inverse: bool):

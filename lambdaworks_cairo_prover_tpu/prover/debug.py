@@ -34,7 +34,8 @@ def validate_trace(air, main_trace: TraceTable, aux_trace, rap_challenges) -> bo
             [cols[c][(step + o) % n_rows] for c in range(len(cols))] for o in offsets
         ]
         frame = HostFrame(rows)
-        evals = air.compute_transition(frame, rap_challenges)
+        rap_fv = air.wrap_rap_challenges(frame.ctx, rap_challenges)
+        evals = air.compute_transition(frame, rap_fv)
         for i, fv in enumerate(evals):
             if step < exemption_steps[i] and fv.v != 0:
                 ok = False

@@ -87,7 +87,8 @@ def evaluate_constraints(
         exemption_evals[count] = prod
 
     frame = DeviceFrame(lde_trace_data, ctx.transition_offsets, blowup)
-    evals = air.compute_transition(frame, rap_challenges)
+    rap_fv = air.wrap_rap_challenges(frame.ctx, rap_challenges)
+    evals = air.compute_transition(frame, rap_fv)
     assert len(evals) == ctx.num_transition_constraints
 
     for ev, exemption, degree, (alpha, beta) in zip(

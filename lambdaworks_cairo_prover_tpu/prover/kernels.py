@@ -1,0 +1,313 @@
+"""Jitted prover round-kernels, cached per (AIR shape, trace length).
+
+Each STARK round becomes one (or a few) XLA programs; Fiat-Shamir challenges
+enter as runtime limb arrays so repeated proofs never recompile.  Domain
+tables (LDE coset values, degree-adjustment powers, zerofier cycles,
+exemption evaluations, boundary zerofier inverses) are computed once per
+domain and passed as inputs."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..air.frame import DeviceFrame
+from ..field import device as fd
+from ..field.params import N_LIMBS, P
+from ..hash import keccak_device as kd
+from ..ntt import core as nttc
+
+
+def _tree_levels(leaves):
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = kd.hash_digest_pairs(cur)
+        levels.append(cur)
+    return tuple(levels)
+
+
+class ProverKernels:
+    """Holds jitted closures + domain tables for one (air, domain) shape."""
+
+    def __init__(self, air, domain):
+        self.air = air
+        self.domain = domain
+        n = air.trace_length()
+        N = domain.lde_size
+        bound = air.composition_poly_degree_bound()
+        ctxc = air.context
+
+        # ---- domain tables (device-resident, computed once) ----
+        tables = {}
+        tables["lde_values"] = domain.lde_values()
+        tables["d_adj_boundary"] = domain.lde_pow(bound - n)
+        for d in sorted(set(ctxc.transition_degrees)):
+            tables[f"d_adj_{d}"] = domain.lde_pow(bound - n * (d - 1))
+
+        blowup = domain.blowup_factor
+        hn = pow(domain.coset_offset, n, P)
+        wb = pow(domain.lde_primitive_root, n, P)
+        zf_inv_ints = [
+            pow((hn * pow(wb, j, P) - 1) % P, P - 2, P) for j in range(blowup)
+        ]
+        zf_inv = jnp.asarray(fd.from_ints(zf_inv_ints))
+        tables["zerofier_inv"] = jnp.tile(zf_inv, (1, N // blowup))
+
+        for count in air.transition_exemption_counts():
+            prod = None
+            for r in air.exemption_roots(count):
+                f = fd.sub(tables["lde_values"], jnp.asarray(fd.from_int(r)))
+                prod = f if prod is None else fd.mul(prod, f)
+            tables[f"exemption_{count}"] = prod
+
+        # boundary zerofier inverses per distinct step (challenge-independent
+        # for all supported AIRs' steps)
+        bc_probe = air.boundary_constraints(self._probe_challenges())
+        self.boundary_steps = [c.step for c in bc_probe.constraints]
+        self.boundary_cols = [c.col for c in bc_probe.constraints]
+        distinct = []
+        for s in self.boundary_steps:
+            if s not in distinct:
+                distinct.append(s)
+        self.distinct_steps = distinct
+        diffs = [
+            fd.sub(tables["lde_values"],
+                   jnp.asarray(fd.from_int(domain.trace_root_pow(s))))
+            for s in distinct
+        ]
+        big = jnp.concatenate(diffs, axis=1)
+        inv_big = fd.batch_inverse(big)
+        for i, s in enumerate(distinct):
+            tables[f"bz_inv_{s}"] = inv_big[:, i * N: (i + 1) * N]
+
+        self.tables = tables
+        self._jit_cache = {}
+
+    def _probe_challenges(self):
+        """Dummy rap challenges for structural inspection (boundary layout)."""
+        return self.air.build_rap_challenges(_ProbeTranscript())
+
+    # ------------------------------------------------------------------
+    # round 1: interpolate columns, LDE, leaf/tree hash
+    # ------------------------------------------------------------------
+
+    def interpolate_commit(self, trace_data):
+        key = ("r1", trace_data.shape)
+        if key not in self._jit_cache:
+            domain = self.domain
+
+            @jax.jit
+            def r1(data):
+                polys = nttc.interpolate_fft(data)
+                lde = nttc.evaluate_on_lde_domain(
+                    polys, domain.blowup_factor,
+                    domain.interpolation_domain_size, domain.coset_offset,
+                )
+                rows = fd.from_mont(jnp.moveaxis(lde, 1, 2))
+                leaves = kd.hash_felt_rows(rows, rows.shape[2])
+                return polys, lde, _tree_levels(leaves)
+
+            self._jit_cache[key] = r1
+        return self._jit_cache[key](trace_data)
+
+    # ------------------------------------------------------------------
+    # round 2: whole-domain constraint evaluation + H + commit
+    # ------------------------------------------------------------------
+
+    def round2(self, lde_evals, boundary_ab, transition_ab, boundary_values,
+               rap_arrays):
+        """boundary_ab: (2, 16, n_bc); transition_ab: (2, 16, n_tc);
+        boundary_values: (16, n_bc); rap_arrays: pytree of (16,1) arrays."""
+        key = ("r2", lde_evals.shape)
+        if key not in self._jit_cache:
+            air = self.air
+            domain = self.domain
+            tables = self.tables
+            ctxc = air.context
+            b_cols = list(self.boundary_cols)
+            b_steps = list(self.boundary_steps)
+
+            @jax.jit
+            def r2(lde, b_ab, t_ab, b_vals, rap):
+                N = domain.lde_size
+                acc = fd.zeros((N,))
+                d_adj = tables["d_adj_boundary"]
+                for i, (col, step) in enumerate(zip(b_cols, b_steps)):
+                    num = fd.sub(lde[:, col, :], b_vals[:, i: i + 1])
+                    coeff = fd.add(
+                        fd.mul(d_adj, b_ab[0][:, i: i + 1]), b_ab[1][:, i: i + 1]
+                    )
+                    acc = fd.add(
+                        acc, fd.mul(fd.mul(num, coeff), tables[f"bz_inv_{step}"])
+                    )
+
+                frame = DeviceFrame(lde, ctxc.transition_offsets,
+                                    domain.blowup_factor)
+                rap_fv = air.wrap_rap_challenges(frame.ctx, rap)
+                evals = air.compute_transition(frame, rap_fv)
+                for i, (ev, exemption, degree) in enumerate(zip(
+                    evals, ctxc.transition_exemptions, ctxc.transition_degrees
+                )):
+                    coeff = fd.add(
+                        fd.mul(tables[f"d_adj_{degree}"], t_ab[0][:, i: i + 1]),
+                        t_ab[1][:, i: i + 1],
+                    )
+                    term = fd.mul(fd.mul(ev.v, coeff), tables["zerofier_inv"])
+                    if exemption > 0:
+                        term = fd.mul(term, tables[f"exemption_{exemption}"])
+                    acc = fd.add(acc, term)
+
+                h_coeffs = nttc.interpolate_offset_fft(acc, domain.coset_offset)
+                h1 = h_coeffs[:, 0::2]
+                h2 = h_coeffs[:, 1::2]
+                h1_lde = nttc.evaluate_on_lde_domain(
+                    h1, domain.blowup_factor, air.trace_length(),
+                    domain.coset_offset,
+                )
+                h2_lde = nttc.evaluate_on_lde_domain(
+                    h2, domain.blowup_factor, air.trace_length(),
+                    domain.coset_offset,
+                )
+                rows = fd.from_mont(jnp.stack([h1_lde, h2_lde], axis=2))
+                leaves = kd.hash_felt_rows(rows, 2)
+                return h1, h2, h1_lde, h2_lde, _tree_levels(leaves)
+
+            self._jit_cache[key] = r2
+        return self._jit_cache[key](
+            lde_evals, boundary_ab, transition_ab, boundary_values, rap_arrays
+        )
+
+    # ------------------------------------------------------------------
+    # round 3: OOD evaluations via powers-dot
+    # ------------------------------------------------------------------
+
+    def eval_at_powers(self, coeffs, powers_table):
+        key = ("r3", coeffs.shape, powers_table.shape)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def ev(cs, pw):
+                return fd.from_mont(
+                    nttc.sum_reduce(fd.mul(cs, pw), axis=-1)
+                )
+
+            self._jit_cache[key] = ev
+        return self._jit_cache[key](coeffs, powers_table)
+
+    # ------------------------------------------------------------------
+    # round 4: DEEP evaluation-form combination + interpolation
+    # ------------------------------------------------------------------
+
+    def deep_poly(self, lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr,
+                  gammas_hh, ood_rows):
+        """point_arrs: (n_offsets+1, 16, 1) points (z*g^k..., z^2);
+        gamma_arr: (16, n_offsets*total_cols) trace gammas;
+        gammas_hh: (2, 16, 1); ood_rows: (n_offsets, 16, total_cols)."""
+        key = ("r4", lde_evals.shape)
+        if key not in self._jit_cache:
+            air = self.air
+            domain = self.domain
+            tables = self.tables
+            n_offsets = len(air.context.transition_offsets)
+
+            @jax.jit
+            def deep(lde, h1_lde_, h2_lde_, points, gammas, ghh, ood):
+                N = domain.lde_size
+                total_cols = lde.shape[1]
+                diffs = [
+                    fd.sub(tables["lde_values"], points[k][:, :1])
+                    for k in range(n_offsets + 1)
+                ]
+                inv_all = fd.batch_inverse(jnp.concatenate(diffs, axis=1))
+                invs = [inv_all[:, k * N: (k + 1) * N]
+                        for k in range(n_offsets + 1)]
+
+                acc = fd.zeros((N,))
+                for ki in range(n_offsets):
+                    # all columns for this offset at once: (16, cols, N)
+                    nums = fd.sub(lde, ood[ki][:, :, None])
+                    terms = fd.mul(nums, invs[ki][:, None, :])
+                    g = gammas[:, ki::n_offsets]  # (16, cols)
+                    terms = fd.mul(terms, g[:, :, None])
+                    acc = fd.add(acc, nttc.sum_reduce(terms, axis=1))
+                acc = fd.add(
+                    acc,
+                    fd.mul(fd.mul(fd.sub(h1_lde_, ood[n_offsets][:, 0:1]),
+                                  invs[n_offsets]), ghh[0][:, :1]),
+                )
+                acc = fd.add(
+                    acc,
+                    fd.mul(fd.mul(fd.sub(h2_lde_, ood[n_offsets][:, 1:2]),
+                                  invs[n_offsets]), ghh[1][:, :1]),
+                )
+                coeffs = nttc.interpolate_offset_fft(acc, domain.coset_offset)
+                return coeffs[:, : air.trace_length()]
+
+            self._jit_cache[key] = deep
+        return self._jit_cache[key](
+            lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr, gammas_hh, ood_rows
+        )
+
+    # ------------------------------------------------------------------
+    # FRI layers
+    # ------------------------------------------------------------------
+
+    def fri_first_layer(self, coeffs):
+        key = ("fri0", coeffs.shape)
+        if key not in self._jit_cache:
+            domain = self.domain
+
+            @jax.jit
+            def layer0(cs):
+                evals = nttc.evaluate_offset_fft(
+                    cs, 1, domain.lde_size, domain.coset_offset
+                )
+                leaves = kd.hash_felt_leaves(fd.from_mont(evals))
+                return evals, _tree_levels(leaves)
+
+            self._jit_cache[key] = layer0
+        return self._jit_cache[key](coeffs)
+
+    def fri_fold_layer(self, coeffs, zeta_arr, offset_int, domain_size):
+        key = ("fri", coeffs.shape, offset_int, domain_size)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fold(cs, zeta):
+                even = cs[:, 0::2]
+                odd = cs[:, 1::2]
+                folded = fd.add(even, fd.mul(odd, zeta[:, :1]))
+                evals = nttc.evaluate_offset_fft(folded, 1, domain_size,
+                                                 offset_int)
+                leaves = kd.hash_felt_leaves(fd.from_mont(evals))
+                return folded, evals, _tree_levels(leaves)
+
+            self._jit_cache[key] = fold
+        return self._jit_cache[key](coeffs, zeta_arr)
+
+
+class _ProbeTranscript:
+    """Deterministic stand-in used only to inspect boundary-constraint layout
+    (columns/steps) ahead of proving; never used for real challenges."""
+
+    def challenge(self) -> bytes:
+        return b"\x01" * 32
+
+    def append(self, data: bytes) -> None:
+        pass
+
+
+_KERNEL_CACHE: dict = {}
+
+
+def get_kernels(air, domain) -> ProverKernels:
+    pub_key = air.kernel_cache_key()
+    key = (type(air).__name__, air.trace_length(), air.context.trace_columns,
+           air.context.proof_options, tuple(air.context.transition_exemptions),
+           pub_key)
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = ProverKernels(air, domain)
+    return _KERNEL_CACHE[key]

@@ -1,9 +1,9 @@
 """The STARK prover (reference src/starks/prover.rs:532-766).
 
 Host python orchestrates the protocol rounds and the Fiat-Shamir transcript;
-all bulk math (NTT interpolation/LDE, Merkle hashing, whole-domain constraint
-evaluation, DEEP combination, FRI layers, grinding search) runs on device as
-limb-tensor programs.  The transcript interaction order is normative and
+all bulk math runs on device through per-shape cached jitted round kernels
+(prover/kernels.py) — challenges enter as runtime limb arrays so repeated
+proofs never recompile.  The transcript interaction order is normative and
 matches the reference exactly (see SURVEY §3.2)."""
 
 from __future__ import annotations
@@ -14,7 +14,6 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..air.frame import HostFrame
 from ..air.trace import TraceTable
 from ..field import device as fd
 from ..field import host as fh
@@ -30,42 +29,16 @@ from ..transcript import (
     transcript_to_usize,
 )
 from .domain import Domain
-from .evaluator import evaluate_constraints
 from .grinding import generate_nonce_with_grinding
+from .kernels import get_kernels
 
 
 class ProvingError(Exception):
     pass
 
 
-def _const(c: int) -> jnp.ndarray:
-    return jnp.asarray(fd.from_int(c % P))
-
-
-def _interpolate_and_commit(trace: TraceTable, domain: Domain, transcript):
-    """Returns (trace_polys, lde_evals, merkle_tree); appends root."""
-    trace_polys = trace.compute_trace_polys()  # (16, m, n)
-    lde_evals = nttc.evaluate_on_lde_domain(
-        trace_polys, domain.blowup_factor, domain.interpolation_domain_size,
-        domain.coset_offset,
-    )  # (16, m, N)
-    rows = fd.from_mont(jnp.moveaxis(lde_evals, 1, 2))  # (16, N, m) canonical
-    tree = MerkleTree.build_batch(rows, rows.shape[2])
-    transcript.append(tree.root)
-    return trace_polys, lde_evals, tree
-
-
-def _fold_poly(coeffs: jnp.ndarray, zeta: int) -> jnp.ndarray:
-    even = coeffs[:, 0::2]
-    odd = coeffs[:, 1::2]
-    return fd.add(even, fd.mul(odd, _const(zeta)))
-
-
-@dataclass
-class _FriLayer:
-    evaluations: jnp.ndarray  # (16, domain_size)
-    tree: MerkleTree
-    domain_size: int
+def _arr(ints) -> jnp.ndarray:
+    return jnp.asarray(fd.from_ints(list(ints)))
 
 
 def _sample_z_ood(domain: Domain, transcript) -> int:
@@ -87,28 +60,29 @@ def prove(
 
     air = air_class(main_trace.n_rows, pub_inputs, proof_options)
     domain = Domain(air)
+    kern = get_kernels(air, domain)
     transcript = DefaultTranscript()
     n = air.trace_length()
     N = domain.lde_size
     h = domain.coset_offset
     g = domain.trace_primitive_root
-
+    offsets = air.context.transition_offsets
     timings["round0"] = time.perf_counter() - t0
 
     # ======================= Round 1: RAP =================================
     t1 = time.perf_counter()
-    trace_polys, lde_evals, main_tree = _interpolate_and_commit(
-        main_trace, domain, transcript
-    )
+    trace_polys, lde_evals, main_levels = kern.interpolate_commit(main_trace.data)
+    main_tree = MerkleTree(list(main_levels))
+    transcript.append(main_tree.root)
     lde_trace_merkle_roots = [main_tree.root]
     lde_trace_merkle_trees = [main_tree]
 
     rap_challenges = air.build_rap_challenges(transcript)
     aux_trace = air.build_auxiliary_trace(main_trace, rap_challenges)
     if not aux_trace.is_empty():
-        aux_polys, aux_lde, aux_tree = _interpolate_and_commit(
-            aux_trace, domain, transcript
-        )
+        aux_polys, aux_lde, aux_levels = kern.interpolate_commit(aux_trace.data)
+        aux_tree = MerkleTree(list(aux_levels))
+        transcript.append(aux_tree.root)
         trace_polys = jnp.concatenate([trace_polys, aux_polys], axis=1)
         lde_evals = jnp.concatenate([lde_evals, aux_lde], axis=1)
         lde_trace_merkle_roots.append(aux_tree.root)
@@ -118,7 +92,8 @@ def prove(
 
     # ======================= Round 2: composition poly ====================
     t2 = time.perf_counter()
-    n_boundary = len(air.boundary_constraints(rap_challenges).constraints)
+    bc = air.boundary_constraints(rap_challenges)
+    n_boundary = len(bc.constraints)
     boundary_alphas = batch_sample_challenges(n_boundary, transcript)
     boundary_betas = batch_sample_challenges(n_boundary, transcript)
     transition_alphas = batch_sample_challenges(
@@ -127,22 +102,16 @@ def prove(
     transition_betas = batch_sample_challenges(
         air.context.num_transition_constraints, transcript
     )
-    boundary_coeffs = list(zip(boundary_alphas, boundary_betas))
-    transition_coeffs = list(zip(transition_alphas, transition_betas))
 
-    constraint_evals = evaluate_constraints(
-        air, domain, lde_evals, transition_coeffs, boundary_coeffs, rap_challenges
+    boundary_ab = (_arr(boundary_alphas), _arr(boundary_betas))
+    transition_ab = (_arr(transition_alphas), _arr(transition_betas))
+    boundary_values = _arr([c.value for c in bc.constraints])
+    rap_arrays = tuple(jnp.asarray(fd.from_int(v)) for v in rap_challenges)
+
+    h1_coeffs, h2_coeffs, h1_lde, h2_lde, comp_levels = kern.round2(
+        lde_evals, boundary_ab, transition_ab, boundary_values, rap_arrays
     )
-    # NOTE: deg(H) may exceed composition_poly_degree_bound (the bound only
-    # sets the degree-adjustment exponents); keep the full interpolation and
-    # split even/odd like the reference (prover.rs:251-252).
-    h_coeffs = nttc.interpolate_offset_fft(constraint_evals, h)
-    h1_coeffs = h_coeffs[:, 0::2]
-    h2_coeffs = h_coeffs[:, 1::2]
-    h1_lde = nttc.evaluate_on_lde_domain(h1_coeffs, domain.blowup_factor, n, h)
-    h2_lde = nttc.evaluate_on_lde_domain(h2_coeffs, domain.blowup_factor, n, h)
-    comp_rows = fd.from_mont(jnp.stack([h1_lde, h2_lde], axis=2))  # (16, N, 2)
-    composition_tree = MerkleTree.build_batch(comp_rows, 2)
+    composition_tree = MerkleTree(list(comp_levels))
     transcript.append(composition_tree.root)
     timings["round2"] = time.perf_counter() - t2
 
@@ -151,15 +120,18 @@ def prove(
     z = _sample_z_ood(domain, transcript)
     z2 = z * z % P
 
-    h1_z2 = fd.to_int(nttc.poly_eval_at(h1_coeffs, z2).reshape(N_LIMBS, 1))
-    h2_z2 = fd.to_int(nttc.poly_eval_at(h2_coeffs, z2).reshape(N_LIMBS, 1))
+    pw_z2 = nttc.offset_powers(z2, h1_coeffs.shape[-1])
+    h1_z2 = fd.to_ints(kern.eval_at_powers(h1_coeffs, pw_z2).reshape(N_LIMBS, 1),
+                       mont=False)[0]
+    h2_z2 = fd.to_ints(kern.eval_at_powers(h2_coeffs, pw_z2).reshape(N_LIMBS, 1),
+                       mont=False)[0]
 
-    offsets = air.context.transition_offsets
     trace_ood_rows = []
     for k in offsets:
         point = z * pow(g, k, P) % P
-        evals_k = nttc.poly_eval_at(trace_polys, point)  # (16, total_cols)
-        trace_ood_rows.append(fd.to_ints(evals_k))
+        pw = nttc.offset_powers(point, n)
+        evals_k = kern.eval_at_powers(trace_polys, pw)  # (16, total_cols)
+        trace_ood_rows.append(fd.to_ints(evals_k, mont=False))
 
     transcript.append(fh.to_bytes_be(h1_z2))
     transcript.append(fh.to_bytes_be(h2_z2))
@@ -174,75 +146,54 @@ def prove(
     gamma_odd = transcript_to_field(transcript)
     trace_gammas = batch_sample_challenges(len(offsets) * total_cols, transcript)
 
-    # DEEP composition polynomial, built in evaluation form over the LDE coset
-    # (replaces the reference's Ruffini divisions, prover.rs:410-482; same
-    # polynomial, computed as whole-array ops + one interpolation).
-    lde_values = domain.lde_values()
-    inv_terms = []
-    for k in offsets:
-        zgk = z * pow(g, k, P) % P
-        inv_terms.append(fd.sub(lde_values, _const(zgk)))
-    inv_terms.append(fd.sub(lde_values, _const(z2)))
-    inv_all = fd.batch_inverse(jnp.concatenate(inv_terms, axis=1))
-    inv_zgk = [inv_all[:, i * N : (i + 1) * N] for i in range(len(offsets))]
-    inv_z2 = inv_all[:, len(offsets) * N :]
+    points = [z * pow(g, k, P) % P for k in offsets] + [z2]
+    point_arrs = jnp.stack([jnp.asarray(fd.from_int(p_)) for p_ in points])
+    gamma_arr = _arr(trace_gammas)
+    gammas_hh = jnp.stack(
+        [jnp.asarray(fd.from_int(gamma_even)), jnp.asarray(fd.from_int(gamma_odd))]
+    )
+    ood_tuple = tuple(_arr(row) for row in trace_ood_rows) + (
+        _arr([h1_z2, h2_z2]),
+    )
 
-    deep_evals = fd.zeros((N,))
-    for j in range(total_cols):
-        col_lde = lde_evals[:, j, :]
-        for ki, k in enumerate(offsets):
-            gamma_jk = trace_gammas[j * len(offsets) + ki]
-            num = fd.sub(col_lde, _const(trace_ood_rows[ki][j]))
-            deep_evals = fd.add(
-                deep_evals, fd.mul(fd.mul(num, inv_zgk[ki]), _const(gamma_jk))
-            )
-    deep_evals = fd.add(
-        deep_evals,
-        fd.mul(fd.mul(fd.sub(h1_lde, _const(h1_z2)), inv_z2), _const(gamma_even)),
+    deep_coeffs = kern.deep_poly(
+        lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr, gammas_hh, ood_tuple
     )
-    deep_evals = fd.add(
-        deep_evals,
-        fd.mul(fd.mul(fd.sub(h2_lde, _const(h2_z2)), inv_z2), _const(gamma_odd)),
-    )
-    deep_coeffs = nttc.interpolate_offset_fft(deep_evals, h)[:, :n]
 
     # FRI commit phase (reference fri/mod.rs:20-72)
     number_layers = domain.root_order
-    fri_layers = []
+    fri_layers = []  # (evaluations, tree, domain_size)
+    evals0, levels0 = kern.fri_first_layer(deep_coeffs)
+    tree0 = MerkleTree(list(levels0))
+    fri_layers.append((evals0, tree0, N))
+    transcript.append(tree0.root)
+
     coeffs = deep_coeffs
-    offset = h
+    offset_int = h
     domain_size = N
-
-    def make_layer(cs, off, ds):
-        evals = nttc.evaluate_offset_fft(cs, 1, ds, off)
-        step = evals.shape[1] // ds
-        if step > 1:
-            evals = evals[:, ::step]
-        tree = MerkleTree.build_single(fd.from_mont(evals))
-        return _FriLayer(evals, tree, ds)
-
-    layer = make_layer(coeffs, offset, domain_size)
-    fri_layers.append(layer)
-    transcript.append(layer.tree.root)
     for _ in range(1, number_layers):
         zeta = transcript_to_field(transcript)
-        offset = offset * offset % P
+        offset_int = offset_int * offset_int % P
         domain_size //= 2
-        coeffs = _fold_poly(coeffs, zeta)
-        layer = make_layer(coeffs, offset, domain_size)
-        fri_layers.append(layer)
-        transcript.append(layer.tree.root)
+        coeffs, evals, levels = kern.fri_fold_layer(
+            coeffs, jnp.asarray(fd.from_int(zeta)), offset_int, domain_size
+        )
+        tree = MerkleTree(list(levels))
+        fri_layers.append((evals, tree, domain_size))
+        transcript.append(tree.root)
+
     zeta = transcript_to_field(transcript)
-    last_poly = _fold_poly(coeffs, zeta)
-    fri_last_value = (
-        fd.to_int(last_poly[:, :1]) if last_poly.shape[1] else 0
+    last_poly = fd.add(
+        coeffs[:, 0::2], fd.mul(coeffs[:, 1::2], jnp.asarray(fd.from_int(zeta)))
     )
+    fri_last_value = fd.to_int(last_poly[:, :1]) if last_poly.shape[1] else 0
     transcript.append(fh.to_bytes_be(fri_last_value))
 
     # grinding (reference prover.rs:380-385)
-    grinding_factor = proof_options.grinding_factor
     transcript_challenge = transcript.challenge()
-    nonce = generate_nonce_with_grinding(transcript_challenge, grinding_factor)
+    nonce = generate_nonce_with_grinding(
+        transcript_challenge, proof_options.grinding_factor
+    )
     transcript.append(nonce.to_bytes(8, "big"))
 
     # FRI query phase (reference fri/mod.rs:74-127)
@@ -250,20 +201,14 @@ def prove(
         transcript_to_usize(transcript) % N
         for _ in range(proof_options.fri_number_of_queries)
     ]
-    # gather all openings per layer in batched device ops
-    query_list = [
-        FriDecommitment([], [], [], []) for _ in iotas
-    ]
-    for layer in fri_layers:
-        ds = layer.domain_size
+    query_list = [FriDecommitment([], [], [], []) for _ in iotas]
+    for evals, tree, ds in fri_layers:
         idxs = [iota % ds for iota in iotas]
         idxs_sym = [(iota + ds // 2) % ds for iota in iotas]
-        vals = fd.to_ints(jnp.take(layer.evaluations, jnp.asarray(idxs), axis=1))
-        vals_sym = fd.to_ints(
-            jnp.take(layer.evaluations, jnp.asarray(idxs_sym), axis=1)
-        )
-        paths = layer.tree.get_proofs(idxs)
-        paths_sym = layer.tree.get_proofs(idxs_sym)
+        vals = fd.to_ints(jnp.take(evals, jnp.asarray(idxs), axis=1))
+        vals_sym = fd.to_ints(jnp.take(evals, jnp.asarray(idxs_sym), axis=1))
+        paths = tree.get_proofs(idxs)
+        paths_sym = tree.get_proofs(idxs_sym)
         for q in range(len(iotas)):
             query_list[q].layers_evaluations.append(vals[q])
             query_list[q].layers_evaluations_sym.append(vals_sym[q])
@@ -277,7 +222,6 @@ def prove(
     comp_paths = composition_tree.get_proofs(open_idxs)
     trace_paths_per_tree = [t.get_proofs(open_idxs) for t in lde_trace_merkle_trees]
     trace_rows_open = jnp.take(lde_evals, jnp.asarray(open_idxs), axis=2)
-    # (16, total_cols, Q) -> per query list of ints
     trace_rows_ints = fd.to_ints(trace_rows_open.reshape(N_LIMBS, -1))
     deep_poly_openings = []
     for q, idx in enumerate(open_idxs):
@@ -296,7 +240,8 @@ def prove(
     if instrument:
         total = sum(v for k, v in timings.items() if k != "round0")
         fractions = " ".join(
-            f"{timings[k] / total:.4f}" for k in ["round0", "round1", "round2", "round3", "round4"]
+            f"{timings[k] / total:.4f}"
+            for k in ["round0", "round1", "round2", "round3", "round4"]
         )
         print(f"Fraction of proving time per round: {fractions}")
 
@@ -306,7 +251,7 @@ def prove(
         composition_poly_root=composition_tree.root,
         composition_poly_even_ood_evaluation=h1_z2,
         composition_poly_odd_ood_evaluation=h2_z2,
-        fri_layers_merkle_roots=[l.tree.root for l in fri_layers],
+        fri_layers_merkle_roots=[layer[1].root for layer in fri_layers],
         fri_last_value=fri_last_value,
         query_list=query_list,
         deep_poly_openings=deep_poly_openings,

@@ -135,7 +135,8 @@ def _step_2_verify_composition_poly(air, proof, domain, challenges) -> bool:
         ) % P
 
     frame = HostFrame(proof.trace_ood_frame_evaluations)
-    transition_evals = air.compute_transition(frame, challenges.rap_challenges)
+    rap_fv = air.wrap_rap_challenges(frame.ctx, challenges.rap_challenges)
+    transition_evals = air.compute_transition(frame, rap_fv)
     transition_evals = [fv.v for fv in transition_evals]
 
     denominator_inv = fh.finv((pow(z, trace_length, P) - 1) % P)

@@ -1,0 +1,39 @@
+"""End-to-end Cairo prove + verify (reference integration_tests.rs:114-172)."""
+
+import pytest
+
+from lambdaworks_cairo_prover_tpu.cairo.air import (
+    generate_cairo_proof,
+    verify_cairo_proof,
+)
+from lambdaworks_cairo_prover_tpu.cairo.programs import fibonacci_program, rc_program
+from lambdaworks_cairo_prover_tpu.cairo.runner import generate_prover_args
+from lambdaworks_cairo_prover_tpu.proof.options import ProofOptions
+from lambdaworks_cairo_prover_tpu.proof.serde import (
+    deserialize_proof,
+    serialize_proof,
+)
+
+
+def test_prove_verify_fibonacci_cairo():
+    main_trace, pub_inputs = generate_prover_args(fibonacci_program(5))
+    options = ProofOptions.default_test_options()
+    proof = generate_cairo_proof(main_trace, pub_inputs, options)
+    assert verify_cairo_proof(proof, pub_inputs, options)
+
+    # wire-format roundtrip
+    data = serialize_proof(proof)
+    proof2 = deserialize_proof(data)
+    assert serialize_proof(proof2) == data
+    assert verify_cairo_proof(proof2, pub_inputs, options)
+
+    # malicious: wrong public inputs must fail
+    pub_inputs.pc_final += 1
+    assert not verify_cairo_proof(proof, pub_inputs, options)
+
+
+def test_prove_verify_rc_program():
+    main_trace, pub_inputs = generate_prover_args(rc_program((250, 77, 1 << 100)))
+    options = ProofOptions.default_test_options()
+    proof = generate_cairo_proof(main_trace, pub_inputs, options)
+    assert verify_cairo_proof(proof, pub_inputs, options)
