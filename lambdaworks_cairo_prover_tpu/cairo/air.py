@@ -368,16 +368,36 @@ class CairoAIR(AIR):
         b32 = 1 << 32
         b48 = 1 << 48
 
+        batched = hasattr(frame.ctx, "batch_shape")  # device whole-domain path
+
         # instruction bit constraints (0..15)
-        for i in range(15):
-            f = curr[i]
-            constraints[i] = f * (f - one)
+        if batched:
+            import jax.numpy as _jnp
+
+            from ..field import device as _fd
+            from ..ntt import core as _nttc
+
+            flags_stack = _jnp.stack([curr[i].v for i in range(15)], axis=1)
+            ones_b = _fd.from_ints([1] * 15)
+            bits = _fd.mul(flags_stack, _fd.sub(flags_stack,
+                                                _jnp.asarray(ones_b)[:, :, None]))
+            for i in range(15):
+                constraints[i] = frame.ctx.wrap(bits[:, i, :])
+        else:
+            for i in range(15):
+                f = curr[i]
+                constraints[i] = f * (f - one)
         constraints[15] = curr[15] * 1
 
         # instruction unpacking (16)
-        f0_squiggle = curr[14]
-        for i in range(13, -1, -1):
-            f0_squiggle = curr[i] + two * f0_squiggle
+        if batched:
+            pow2 = _fd.from_ints([1 << i for i in range(15)])
+            weighted = _fd.mul(flags_stack, _jnp.asarray(pow2)[:, :, None])
+            f0_squiggle = frame.ctx.wrap(_nttc.sum_reduce(weighted, axis=1))
+        else:
+            f0_squiggle = curr[14]
+            for i in range(13, -1, -1):
+                f0_squiggle = curr[i] + two * f0_squiggle
         constraints[16] = (
             curr[OFF_DST] + b16 * curr[OFF_OP0] + b32 * curr[OFF_OP1]
             + b48 * f0_squiggle - curr[FRAME_INST]
@@ -446,8 +466,15 @@ class CairoAIR(AIR):
         constraints[30] = curr[F_OPC_AEQ] * (curr[FRAME_DST] - curr[FRAME_RES])
 
         # selector (applies to 16..30)
-        for i in range(16, 31):
-            constraints[i] = constraints[i] * curr[FRAME_SELECTOR]
+        if batched:
+            grp = _jnp.stack([constraints[i].v for i in range(16, 31)], axis=1)
+            sel = curr[FRAME_SELECTOR].v[:, None, :]
+            grp = _fd.mul(grp, sel)
+            for i in range(16, 31):
+                constraints[i] = frame.ctx.wrap(grp[:, i - 16, :])
+        else:
+            for i in range(16, 31):
+                constraints[i] = constraints[i] * curr[FRAME_SELECTOR]
 
         # memory: increasing + consistency (31..38)
         def c(idx):
@@ -463,12 +490,30 @@ class CairoAIR(AIR):
         ms_next0 = nx(MEMORY_ADDR_SORTED_0)
         vs_next0 = nx(MEMORY_VALUES_SORTED_0)
 
-        for k in range(3):
-            constraints[31 + k] = (ms[k] - ms[k + 1]) * (ms[k + 1] - ms[k] - one)
-        constraints[34] = (ms[3] - ms_next0) * (ms_next0 - ms[3] - one)
-        for k in range(3):
-            constraints[35 + k] = (vs[k] - vs[k + 1]) * (ms[k + 1] - ms[k] - one)
-        constraints[38] = (vs[3] - vs_next0) * (ms_next0 - ms[3] - one)
+        if batched:
+            # one batched multiply for the 8 memory constraints
+            lhs = _jnp.stack(
+                [(ms[k] - ms[k + 1]).v for k in range(3)]
+                + [(ms[3] - ms_next0).v]
+                + [(vs[k] - vs[k + 1]).v for k in range(3)]
+                + [(vs[3] - vs_next0).v],
+                axis=1,
+            )
+            step_diffs = (
+                [(ms[k + 1] - ms[k] - one).v for k in range(3)]
+                + [(ms_next0 - ms[3] - one).v]
+            )
+            rhs = _jnp.stack(step_diffs + step_diffs, axis=1)
+            memc = _fd.mul(lhs, rhs)
+            for k in range(8):
+                constraints[31 + k] = frame.ctx.wrap(memc[:, k, :])
+        else:
+            for k in range(3):
+                constraints[31 + k] = (ms[k] - ms[k + 1]) * (ms[k + 1] - ms[k] - one)
+            constraints[34] = (ms[3] - ms_next0) * (ms_next0 - ms[3] - one)
+            for k in range(3):
+                constraints[35 + k] = (vs[k] - vs[k + 1]) * (ms[k + 1] - ms[k] - one)
+            constraints[38] = (vs[3] - vs_next0) * (ms_next0 - ms[3] - one)
 
         # memory permutation argument (39..42)
         alpha, z = rc[RAP_ALPHA_MEMORY], rc[RAP_Z_MEMORY]

@@ -80,109 +80,108 @@ _P_ARR = np.array(P_LIMBS, dtype=np.uint32)
 # ---------------------------------------------------------------------------
 
 
-def _carry_propagate(cols, n_out):
-    """Resolve lazy uint32 columns into ``n_out`` clean 16-bit limbs.
+def _carry_scan(cols: jnp.ndarray) -> jnp.ndarray:
+    """Resolve lazy uint32 columns (K, ...) into clean 16-bit limbs (K, ...).
 
-    ``cols`` is a list of uint32 arrays (same batch shape); values may exceed
-    16 bits.  Returns a list of n_out arrays each < 2^16.
-    """
-    out = []
-    carry = None
-    for k in range(n_out):
-        v = cols[k] if k < len(cols) else jnp.zeros_like(cols[0])
-        if carry is not None:
-            v = v + carry
-        out.append(v & MASK)
-        carry = v >> 16
-    return out
+    Sequential by nature; lowered as ONE lax.scan over the limb axis so the
+    XLA graph stays tiny.  The final carry out is dropped (callers guarantee
+    it is zero or intend mod-2^(16K) semantics)."""
+
+    def body(carry, x):
+        v = x + carry
+        return v >> 16, v & MASK
+
+    _, limbs = jax.lax.scan(body, jnp.zeros_like(cols[0]), cols)
+    return limbs
 
 
-def _cond_sub_p(limbs):
-    """If value >= p, subtract p.  ``limbs``: list of 16 clean arrays."""
-    borrow = jnp.zeros_like(limbs[0])
-    diff = []
-    for k in range(N_LIMBS):
-        rhs = jnp.uint32(int(_P_ARR[k])) + borrow
-        b = (limbs[k] < rhs).astype(U32)
-        diff.append((limbs[k] - rhs) & MASK)
-        borrow = b
+def _bcast_limb_const(vec: np.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """(K,) numpy constant -> (K, ...) broadcast against ref's batch shape."""
+    k = vec.shape[0]
+    arr = jnp.asarray(vec).reshape((k,) + (1,) * (ref.ndim - 1))
+    return jnp.broadcast_to(arr, (k,) + ref.shape[1:])
+
+
+def _cond_sub_p(limbs: jnp.ndarray) -> jnp.ndarray:
+    """If value >= p, subtract p.  ``limbs``: (16, ...) clean array."""
+    p_arr = _bcast_limb_const(_P_ARR, limbs)
+
+    def body(borrow, xs):
+        a_k, p_k = xs
+        rhs = p_k + borrow
+        nb = (a_k < rhs).astype(U32)
+        return nb, (a_k - rhs) & MASK
+
+    borrow, diff = jax.lax.scan(body, jnp.zeros_like(limbs[0]), (limbs, p_arr))
     # borrow == 0  =>  value >= p  =>  take diff
-    keep = borrow.astype(jnp.bool_)
-    return [jnp.where(keep, limbs[k], diff[k]) for k in range(N_LIMBS)]
-
-
-def _stack(limb_list):
-    return jnp.stack(limb_list, axis=0)
+    return jnp.where((borrow == 0)[None], diff, limbs)
 
 
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular addition of canonical limb tensors."""
-    cols = [a[k] + b[k] for k in range(N_LIMBS)]
-    limbs = _carry_propagate(cols, N_LIMBS)  # sum < 2p < 2^253: carry out is 0
-    return _stack(_cond_sub_p(limbs))
+    limbs = _carry_scan(a + b)  # sum < 2p < 2^253: carry out is 0
+    return _cond_sub_p(limbs)
 
 
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular subtraction a - b."""
-    borrow = jnp.zeros_like(a[0])
-    diff = []
-    for k in range(N_LIMBS):
-        rhs = b[k] + borrow
-        nb = (a[k] < rhs).astype(U32)
-        diff.append((a[k] - rhs) & MASK)
-        borrow = nb
-    # if borrow: result underflowed, add p back
-    neg = borrow.astype(jnp.bool_)
-    cols = [diff[k] + jnp.where(neg, jnp.uint32(int(_P_ARR[k])), jnp.uint32(0))
-            for k in range(N_LIMBS)]
-    limbs = _carry_propagate(cols, N_LIMBS)
-    return _stack(limbs)
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (N_LIMBS,) + bshape)
+    b = jnp.broadcast_to(b, (N_LIMBS,) + bshape)
+
+    def body(borrow, xs):
+        a_k, b_k = xs
+        rhs = b_k + borrow
+        nb = (a_k < rhs).astype(U32)
+        return nb, (a_k - rhs) & MASK
+
+    borrow, diff = jax.lax.scan(body, jnp.zeros_like(a[0]), (a, b))
+    # if borrow: result underflowed; add p back (single carry sweep)
+    p_fix = jnp.where((borrow == 1)[None], _bcast_limb_const(_P_ARR, a),
+                      jnp.zeros_like(a))
+    return _carry_scan(diff + p_fix)
 
 
 def neg(a: jnp.ndarray) -> jnp.ndarray:
     return sub(jnp.zeros_like(a), a)
 
 
-# anti-diagonal gather indices: LO[i, k] selects P[i, (k - i) mod 32] so that
-# summing over i yields column k of the long product (zeros where out of
-# range thanks to the 16..31 zero padding of j).
-_DIAG_LO_IDX = np.zeros((N_LIMBS, 33), dtype=np.int32)
-_DIAG_HI_IDX = np.zeros((N_LIMBS, 33), dtype=np.int32)
-for _i in range(N_LIMBS):
-    for _k in range(33):
-        _DIAG_LO_IDX[_i, _k] = (_k - _i) % 33
-        _DIAG_HI_IDX[_i, _k] = (_k - 1 - _i) % 33
-
 _PINV_ARR = None  # lazy numpy (16,) of -p^-1 mod 2^256 limbs
+
+
+def _anti_diagonal_sums(parts: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """sum_i parts[i, k - shift - i] for k in [0, 33)  —  via a stride trick.
+
+    parts: (16, 16, ...) u32.  Pad rows to width 34 and flatten rows
+    row-major; element (i, j) lands at flat index 34i + j, so the diagonal
+    k = i + j sits at 33i + k: slicing [shift : shift + 16*33] and reshaping
+    to (16, 33, ...) aligns all anti-diagonals as columns — three cheap ops
+    instead of per-diagonal gathers/rolls.
+    """
+    bshape = parts.shape[2:]
+    pad = jnp.zeros((N_LIMBS, 34 - N_LIMBS) + bshape, dtype=U32)
+    flat = jnp.concatenate([parts, pad], axis=1).reshape((16 * 34,) + bshape)
+    if shift:
+        flat = jnp.concatenate(
+            [jnp.zeros((shift,) + bshape, dtype=U32), flat], axis=0
+        )
+    window = flat[: 16 * 33].reshape((16, 33) + bshape)
+    return jnp.sum(window, axis=0)
 
 
 def _long_mul_columns(a, b, n_cols: int):
     """Lazy column sums of the long product of two 16-limb tensors.
 
     a, b: (16, ...) with limbs < 2^16.  Returns (n_cols, ...) uint32 with
-    column k = sum_{i+j=k} a_i*b_j (each column < 32 * 2^16 < 2^21).
-    Built from ONE broadcast outer product + two anti-diagonal gathers —
-    this keeps the XLA graph tiny compared to an unrolled schoolbook.
+    column k = sum_{i+j=k} (a_i*b_j & 0xffff) + sum_{i+j=k-1} (a_i*b_j >> 16)
+    (each column < 32 * 2^16 < 2^21).  One broadcast outer product + two
+    stride-trick diagonal reductions — ~10 XLA ops total.
     """
     prod = a[:, None] * b[None, :]  # (16, 16, ...) exact u32 products
-    lo = prod & MASK
-    hi = prod >> 16
-    pad_shape = (N_LIMBS, 33 - N_LIMBS) + prod.shape[2:]
-    zeros_pad = jnp.zeros(pad_shape, dtype=U32)
-    lo = jnp.concatenate([lo, zeros_pad], axis=1)
-    hi = jnp.concatenate([hi, zeros_pad], axis=1)
-    extra = (1,) * (prod.ndim - 2)
-    lo_idx = jnp.asarray(_DIAG_LO_IDX[:, :n_cols]).reshape(
-        (N_LIMBS, n_cols) + extra
+    cols = _anti_diagonal_sums(prod & MASK, 0) + _anti_diagonal_sums(
+        prod >> 16, 1
     )
-    hi_idx = jnp.asarray(_DIAG_HI_IDX[:, :n_cols]).reshape(
-        (N_LIMBS, n_cols) + extra
-    )
-    lo_al = jnp.take_along_axis(lo, lo_idx, axis=1)
-    hi_al = jnp.take_along_axis(hi, hi_idx, axis=1)
-    cols = jnp.sum(lo_al, axis=0) + jnp.sum(hi_al, axis=0)
-    # column 0 must not receive hi contributions ((k-1-i) mod 32 wraps)
-    return cols
+    return cols[:n_cols]
 
 
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -209,34 +208,35 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     b = _bcast(b)
 
     t_cols = _long_mul_columns(a, b, 33)  # lazy columns of a*b (<2^21 each)
-    # hi-part of column 0 wrap: indices (0-1-i) mod 32 >= 16 → zero pad ✓
+    t = _carry_scan(t_cols)               # (33, ...) clean
 
-    t = _carry_propagate(list(t_cols), 33)
+    # m = T_lo * pinv mod 2^256, as clean 16-bit limbs (top carry dropped)
+    pinv = _bcast_limb_const(_PINV_ARR, a)
+    m = _carry_scan(_long_mul_columns(t[:N_LIMBS], pinv, N_LIMBS))
 
-    # m = T_lo * pinv mod 2^256, as clean 16-bit limbs
-    pinv = jnp.asarray(_PINV_ARR).reshape((N_LIMBS,) + (1,) * len(bshape))
-    pinv = jnp.broadcast_to(pinv, (N_LIMBS,) + bshape)
-    t_lo = jnp.stack(t[:N_LIMBS], axis=0)
-    m_cols = _long_mul_columns(t_lo, pinv, N_LIMBS)
-    m = _carry_propagate(list(m_cols), N_LIMBS)  # mod 2^256: drop top carry
+    # T + m*p with p = 1 + 17*2^192 + 2048*2^240 (limbs 0, 12, 15):
+    # shifted whole-vector adds of m and the lo/hi halves of 17m / 2048m.
+    def shifted(x, k):
+        pre = jnp.zeros((k,) + x.shape[1:], dtype=U32)
+        post = jnp.zeros((34 - k - x.shape[0],) + x.shape[1:], dtype=U32)
+        return jnp.concatenate([pre, x, post], axis=0)
 
-    # T + m*p with p = 1 + 17*2^192 + 2048*2^240 (limbs 0, 12, 15)
-    acc = list(t)
-    for i in range(N_LIMBS):
-        mi = m[i]
-        acc[i] = acc[i] + mi
-        p17 = mi * jnp.uint32(17)
-        acc[i + 12] = acc[i + 12] + (p17 & MASK)
-        acc[i + 13] = acc[i + 13] + (p17 >> 16)
-        p2048 = mi * jnp.uint32(2048)
-        acc[i + 15] = acc[i + 15] + (p2048 & MASK)
-        acc[i + 16] = acc[i + 16] + (p2048 >> 16)
-
-    # low 256 bits of acc are ≡ 0; carries from columns 0..15 must flow into
-    # the high half.  Columns are lazy (< 2^21 + additions), so propagate.
-    limbs = _carry_propagate(acc, 34)
+    p17 = m * jnp.uint32(17)
+    p2048 = m * jnp.uint32(2048)
+    t34 = jnp.concatenate(
+        [t, jnp.zeros((1,) + t.shape[1:], dtype=U32)], axis=0
+    )
+    acc = (
+        t34
+        + shifted(m, 0)
+        + shifted(p17 & MASK, 12)
+        + shifted(p17 >> 16, 13)
+        + shifted(p2048 & MASK, 15)
+        + shifted(p2048 >> 16, 16)
+    )
+    limbs = _carry_scan(acc)
     # (T + m*p) / 2^256 < 2p: take limbs 16..32 (limb 33 is zero)
-    return _stack(_cond_sub_p(limbs[N_LIMBS : 2 * N_LIMBS]))
+    return _cond_sub_p(limbs[N_LIMBS : 2 * N_LIMBS])
 
 
 def square(a: jnp.ndarray) -> jnp.ndarray:

@@ -9,9 +9,23 @@ domain and passed as inputs."""
 from __future__ import annotations
 
 import functools
+import os
+import time
 
 import jax
 import jax.numpy as jnp
+
+_DEBUG = os.environ.get("LCP_DEBUG_KERNELS")
+
+
+def _timed(name, fn, *args):
+    if not _DEBUG:
+        return fn(*args)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"[kernel {name}] {time.perf_counter() - t0:.2f}s", flush=True)
+    return out
 
 from ..air.frame import DeviceFrame
 from ..field import device as fd
@@ -111,7 +125,7 @@ class ProverKernels:
                 return polys, lde, _tree_levels(leaves)
 
             self._jit_cache[key] = r1
-        return self._jit_cache[key](trace_data)
+        return _timed("r1", self._jit_cache[key], trace_data)
 
     # ------------------------------------------------------------------
     # round 2: whole-domain constraint evaluation + H + commit
@@ -120,46 +134,77 @@ class ProverKernels:
     def round2(self, lde_evals, boundary_ab, transition_ab, boundary_values,
                rap_arrays):
         """boundary_ab: (2, 16, n_bc); transition_ab: (2, 16, n_tc);
-        boundary_values: (16, n_bc); rap_arrays: pytree of (16,1) arrays."""
-        key = ("r2", lde_evals.shape)
+        boundary_values: (16, n_bc); rap_arrays: pytree of (16,1) arrays.
+
+        Split into three XLA programs (evaluation, polynomial work,
+        commitment) to keep per-graph compile time bounded; the constraint
+        coefficient application is grouped by (degree, exemption) so each
+        group is one batched multiply chain."""
+        air = self.air
+        domain = self.domain
+        tables = self.tables
+        ctxc = air.context
+        key = ("r2_eval", lde_evals.shape)
         if key not in self._jit_cache:
-            air = self.air
-            domain = self.domain
-            tables = self.tables
-            ctxc = air.context
             b_cols = list(self.boundary_cols)
             b_steps = list(self.boundary_steps)
 
+            # constraint groups: (degree, exemption) -> constraint indices
+            groups = {}
+            for i, (d, e) in enumerate(zip(ctxc.transition_degrees,
+                                           ctxc.transition_exemptions)):
+                groups.setdefault((d, e), []).append(i)
+            group_list = sorted(groups.items())
+
             @jax.jit
-            def r2(lde, b_ab, t_ab, b_vals, rap):
+            def r2_eval(lde, b_ab, t_ab, b_vals, rap):
                 N = domain.lde_size
-                acc = fd.zeros((N,))
                 d_adj = tables["d_adj_boundary"]
+                # boundary terms, grouped per distinct step
+                acc = fd.zeros((N,))
+                step_groups = {}
                 for i, (col, step) in enumerate(zip(b_cols, b_steps)):
-                    num = fd.sub(lde[:, col, :], b_vals[:, i: i + 1])
-                    coeff = fd.add(
-                        fd.mul(d_adj, b_ab[0][:, i: i + 1]), b_ab[1][:, i: i + 1]
-                    )
-                    acc = fd.add(
-                        acc, fd.mul(fd.mul(num, coeff), tables[f"bz_inv_{step}"])
-                    )
+                    step_groups.setdefault(step, []).append(i)
+                for step, idxs in step_groups.items():
+                    nums = jnp.stack(
+                        [lde[:, b_cols[i], :] for i in idxs], axis=1
+                    )  # (16, g, N)
+                    vals = jnp.stack(
+                        [b_vals[:, i: i + 1] for i in idxs], axis=1
+                    )  # (16, g, 1)
+                    alphas = jnp.stack([b_ab[0][:, i: i + 1] for i in idxs], axis=1)
+                    betas = jnp.stack([b_ab[1][:, i: i + 1] for i in idxs], axis=1)
+                    nums = fd.sub(nums, vals)
+                    coeff = fd.add(fd.mul(d_adj[:, None, :], alphas), betas)
+                    summed = nttc.sum_reduce(fd.mul(nums, coeff), axis=1)
+                    acc = fd.add(acc, fd.mul(summed, tables[f"bz_inv_{step}"]))
 
                 frame = DeviceFrame(lde, ctxc.transition_offsets,
                                     domain.blowup_factor)
                 rap_fv = air.wrap_rap_challenges(frame.ctx, rap)
                 evals = air.compute_transition(frame, rap_fv)
-                for i, (ev, exemption, degree) in enumerate(zip(
-                    evals, ctxc.transition_exemptions, ctxc.transition_degrees
-                )):
+                for (degree, exemption), idxs in group_list:
+                    evs = jnp.stack([evals[i].v for i in idxs], axis=1)
+                    alphas = jnp.stack([t_ab[0][:, i: i + 1] for i in idxs], axis=1)
+                    betas = jnp.stack([t_ab[1][:, i: i + 1] for i in idxs], axis=1)
                     coeff = fd.add(
-                        fd.mul(tables[f"d_adj_{degree}"], t_ab[0][:, i: i + 1]),
-                        t_ab[1][:, i: i + 1],
+                        fd.mul(tables[f"d_adj_{degree}"][:, None, :], alphas),
+                        betas,
                     )
-                    term = fd.mul(fd.mul(ev.v, coeff), tables["zerofier_inv"])
+                    summed = nttc.sum_reduce(fd.mul(evs, coeff), axis=1)
+                    summed = fd.mul(summed, tables["zerofier_inv"])
                     if exemption > 0:
-                        term = fd.mul(term, tables[f"exemption_{exemption}"])
-                    acc = fd.add(acc, term)
+                        summed = fd.mul(summed, tables[f"exemption_{exemption}"])
+                    acc = fd.add(acc, summed)
+                return acc
 
+            self._jit_cache[key] = r2_eval
+
+        key2 = ("r2_poly", lde_evals.shape)
+        if key2 not in self._jit_cache:
+
+            @jax.jit
+            def r2_poly(acc):
                 h_coeffs = nttc.interpolate_offset_fft(acc, domain.coset_offset)
                 h1 = h_coeffs[:, 0::2]
                 h2 = h_coeffs[:, 1::2]
@@ -171,14 +216,27 @@ class ProverKernels:
                     h2, domain.blowup_factor, air.trace_length(),
                     domain.coset_offset,
                 )
+                return h1, h2, h1_lde, h2_lde
+
+            self._jit_cache[key2] = r2_poly
+
+        key3 = ("r2_commit", lde_evals.shape)
+        if key3 not in self._jit_cache:
+
+            @jax.jit
+            def r2_commit(h1_lde, h2_lde):
                 rows = fd.from_mont(jnp.stack([h1_lde, h2_lde], axis=2))
                 leaves = kd.hash_felt_rows(rows, 2)
-                return h1, h2, h1_lde, h2_lde, _tree_levels(leaves)
+                return _tree_levels(leaves)
 
-            self._jit_cache[key] = r2
-        return self._jit_cache[key](
-            lde_evals, boundary_ab, transition_ab, boundary_values, rap_arrays
-        )
+            self._jit_cache[key3] = r2_commit
+
+        acc = _timed("r2_eval", self._jit_cache[key],
+                     lde_evals, boundary_ab, transition_ab, boundary_values,
+                     rap_arrays)
+        h1, h2, h1_lde, h2_lde = _timed("r2_poly", self._jit_cache[key2], acc)
+        levels = _timed("r2_commit", self._jit_cache[key3], h1_lde, h2_lde)
+        return h1, h2, h1_lde, h2_lde, levels
 
     # ------------------------------------------------------------------
     # round 3: OOD evaluations via powers-dot
@@ -195,7 +253,7 @@ class ProverKernels:
                 )
 
             self._jit_cache[key] = ev
-        return self._jit_cache[key](coeffs, powers_table)
+        return _timed("eval_at", self._jit_cache[key], coeffs, powers_table)
 
     # ------------------------------------------------------------------
     # round 4: DEEP evaluation-form combination + interpolation
@@ -247,9 +305,9 @@ class ProverKernels:
                 return coeffs[:, : air.trace_length()]
 
             self._jit_cache[key] = deep
-        return self._jit_cache[key](
-            lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr, gammas_hh, ood_rows
-        )
+        return _timed("deep", self._jit_cache[key],
+                      lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr,
+                      gammas_hh, ood_rows)
 
     # ------------------------------------------------------------------
     # FRI layers
@@ -269,7 +327,7 @@ class ProverKernels:
                 return evals, _tree_levels(leaves)
 
             self._jit_cache[key] = layer0
-        return self._jit_cache[key](coeffs)
+        return _timed("fri0", self._jit_cache[key], coeffs)
 
     def fri_fold_layer(self, coeffs, zeta_arr, offset_int, domain_size):
         key = ("fri", coeffs.shape, offset_int, domain_size)
@@ -286,7 +344,7 @@ class ProverKernels:
                 return folded, evals, _tree_levels(leaves)
 
             self._jit_cache[key] = fold
-        return self._jit_cache[key](coeffs, zeta_arr)
+        return _timed(f"fri_{domain_size}", self._jit_cache[key], coeffs, zeta_arr)
 
 
 class _ProbeTranscript:
