@@ -383,24 +383,43 @@ def batch_inverse(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def powers(base_int: int, n: int) -> jnp.ndarray:
-    """[1, b, b^2, ..., b^(n-1)] as (16, n) Montgomery limbs (device).
+@functools.partial(jax.jit, static_argnames=("n",))
+def _powers_outer(small: jnp.ndarray, big: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(16, s) x (16, k) -> (16, s*k)[:, :n] outer product of power blocks."""
+    prod = mul(small[:, None, :], big[:, :, None])  # (16, k, s)
+    return prod.reshape(N_LIMBS, -1)[:, :n]
 
-    Built by repeated doubling: log2(n) device multiplies over growing arrays.
-    Runs under `ensure_compile_time_eval` so results are concrete even when
-    first requested during a jit trace (they get cached globally).
+
+def powers(base_int: int, n: int) -> jnp.ndarray:
+    """[1, b, b^2, ..., b^(n-1)] as (16, n) Montgomery limbs.
+
+    Split-point construction: 2*sqrt(n) host modmuls build b^i (i < s) and
+    b^(s*j) blocks; ONE jitted device multiply forms the outer product.
+    No eager device dispatches (critical on tunneled TPU backends).
     """
     if n <= 0:
         return zeros((0,))
-    with jax.ensure_compile_time_eval():
-        cur = jnp.asarray(from_ints([1]))
-        length = 1
-        b_pow = base_int % P  # b^(length)
-        while length < n:
-            take = min(length, n - length)
-            factor = jnp.asarray(from_int(b_pow))
-            nxt = mul(cur[:, :take], factor)
-            cur = jnp.concatenate([cur, nxt], axis=1)
-            b_pow = (b_pow * b_pow) % P
-            length *= 2
-        return cur[:, :n]
+    base_int %= P
+    if n <= 1024:
+        vals = [1] * n
+        cur = 1
+        for i in range(1, n):
+            cur = cur * base_int % P
+            vals[i] = cur
+        return jnp.asarray(from_ints(vals))
+    s = 1 << ((n - 1).bit_length() + 1) // 2
+    k = -(-n // s)
+    small_vals = [1] * s
+    cur = 1
+    for i in range(1, s):
+        cur = cur * base_int % P
+        small_vals[i] = cur
+    step = cur * base_int % P  # b^s
+    big_vals = [1] * k
+    cur = 1
+    for j in range(1, k):
+        cur = cur * step % P
+        big_vals[j] = cur
+    small = jnp.asarray(from_ints(small_vals))
+    big = jnp.asarray(from_ints(big_vals))
+    return _powers_outer(small, big, n)

@@ -17,8 +17,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from . import keccak_device as kd
 from .keccak_host import keccak256
+
+
+@jax.jit
+def _gather_rows(level, idx):
+    return jnp.take(level, idx, axis=0)
 
 
 class MerkleTree:
@@ -60,7 +67,7 @@ class MerkleTree:
         idxs = list(indices)
         for level in self.levels[:-1]:
             sibs = np.asarray(
-                jnp.take(level, jnp.asarray([i ^ 1 for i in idxs]), axis=0)
+                _gather_rows(level, jnp.asarray([i ^ 1 for i in idxs]))
             )
             for q, s in enumerate(sibs):
                 paths[q].append(kd.digest_to_bytes(s))

@@ -42,8 +42,15 @@ def _bitrev_indices(log_n: int) -> jnp.ndarray:
     return jnp.asarray(_bitrev_cache[log_n])
 
 
+def _is_tracer(x) -> bool:
+    return isinstance(x, jax.core.Tracer)
+
+
 def _stage_twiddles(log_n: int, inverse: bool):
-    """Tuple of per-stage twiddle arrays; stage s (m = 2^s) holds w_{2m}^j, j<m."""
+    """Tuple of per-stage twiddle arrays; stage s (m = 2^s) holds w_{2m}^j, j<m.
+
+    Results are cached ONLY when computed outside a jit trace (a first call
+    inside tracing would cache tracers that leak into later programs)."""
     key = (log_n, inverse)
     if key not in _twiddle_cache:
         stages = []
@@ -53,15 +60,20 @@ def _stage_twiddles(log_n: int, inverse: bool):
             if inverse:
                 w = pow(w, P - 2, P)
             stages.append(fd.powers(w, m))
+        if any(_is_tracer(st) for st in stages):
+            return tuple(stages)
         _twiddle_cache[key] = tuple(stages)
     return _twiddle_cache[key]
 
 
 def offset_powers(offset: int, n: int) -> jnp.ndarray:
-    """[offset^0 .. offset^(n-1)] (Montgomery limbs), cached."""
+    """[offset^0 .. offset^(n-1)] (Montgomery limbs), cached when concrete."""
     key = (offset % P, n)
     if key not in _powers_cache:
-        _powers_cache[key] = fd.powers(offset, n)
+        arr = fd.powers(offset, n)
+        if _is_tracer(arr):
+            return arr
+        _powers_cache[key] = arr
     return _powers_cache[key]
 
 

@@ -54,31 +54,7 @@ class ProverKernels:
         bound = air.composition_poly_degree_bound()
         ctxc = air.context
 
-        # ---- domain tables (device-resident, computed once) ----
-        tables = {}
-        tables["lde_values"] = domain.lde_values()
-        tables["d_adj_boundary"] = domain.lde_pow(bound - n)
-        for d in sorted(set(ctxc.transition_degrees)):
-            tables[f"d_adj_{d}"] = domain.lde_pow(bound - n * (d - 1))
-
-        blowup = domain.blowup_factor
-        hn = pow(domain.coset_offset, n, P)
-        wb = pow(domain.lde_primitive_root, n, P)
-        zf_inv_ints = [
-            pow((hn * pow(wb, j, P) - 1) % P, P - 2, P) for j in range(blowup)
-        ]
-        zf_inv = jnp.asarray(fd.from_ints(zf_inv_ints))
-        tables["zerofier_inv"] = jnp.tile(zf_inv, (1, N // blowup))
-
-        for count in air.transition_exemption_counts():
-            prod = None
-            for r in air.exemption_roots(count):
-                f = fd.sub(tables["lde_values"], jnp.asarray(fd.from_int(r)))
-                prod = f if prod is None else fd.mul(prod, f)
-            tables[f"exemption_{count}"] = prod
-
-        # boundary zerofier inverses per distinct step (challenge-independent
-        # for all supported AIRs' steps)
+        # ---- boundary layout (host inspection) ----
         bc_probe = air.boundary_constraints(self._probe_challenges())
         self.boundary_steps = [c.step for c in bc_probe.constraints]
         self.boundary_cols = [c.col for c in bc_probe.constraints]
@@ -87,18 +63,75 @@ class ProverKernels:
             if s not in distinct:
                 distinct.append(s)
         self.distinct_steps = distinct
-        diffs = [
-            fd.sub(tables["lde_values"],
-                   jnp.asarray(fd.from_int(domain.trace_root_pow(s))))
-            for s in distinct
-        ]
-        big = jnp.concatenate(diffs, axis=1)
-        inv_big = fd.batch_inverse(big)
-        for i, s in enumerate(distinct):
-            tables[f"bz_inv_{s}"] = inv_big[:, i * N: (i + 1) * N]
 
-        self.tables = tables
+        # ---- domain tables: host powers + ONE jitted device program ----
+        pow_inputs = {"lde_values": nttc.offset_powers(domain.lde_primitive_root, N)}
+        scale_consts = {"lde_values": domain.coset_offset}
+        for name, e in [("d_adj_boundary", bound - n)] + [
+            (f"d_adj_{d}", bound - n * (d - 1))
+            for d in sorted(set(ctxc.transition_degrees))
+        ]:
+            we = pow(domain.lde_primitive_root, e, P)
+            pow_inputs[name] = fd.powers(we, N)
+            scale_consts[name] = pow(domain.coset_offset, e, P)
+
+        blowup = domain.blowup_factor
+        hn = pow(domain.coset_offset, n, P)
+        wb = pow(domain.lde_primitive_root, n, P)
+        zf_inv_ints = [
+            pow((hn * pow(wb, j, P) - 1) % P, P - 2, P) for j in range(blowup)
+        ]
+        exemption_roots = {
+            c: air.exemption_roots(c) for c in air.transition_exemption_counts()
+        }
+        step_points = {s: domain.trace_root_pow(s) for s in distinct}
+
+        @jax.jit
+        def build_tables(pins):
+            t = {
+                name: fd.mul(arr, jnp.asarray(fd.from_int(scale_consts[name])))
+                for name, arr in pins.items()
+            }
+            zf = jnp.asarray(fd.from_ints(zf_inv_ints))
+            t["zerofier_inv"] = jnp.tile(zf, (1, N // blowup))
+            for count, roots in exemption_roots.items():
+                prod = None
+                for r in roots:
+                    f = fd.sub(t["lde_values"], jnp.asarray(fd.from_int(r)))
+                    prod = f if prod is None else fd.mul(prod, f)
+                t[f"exemption_{count}"] = prod
+            if distinct:
+                diffs = [
+                    fd.sub(t["lde_values"],
+                           jnp.asarray(fd.from_int(step_points[s])))
+                    for s in distinct
+                ]
+                inv_big = fd.batch_inverse(jnp.concatenate(diffs, axis=1))
+                for i, s in enumerate(distinct):
+                    t[f"bz_inv_{s}"] = inv_big[:, i * N: (i + 1) * N]
+            return t
+
+        self.tables = build_tables(pow_inputs)
         self._jit_cache = {}
+
+        # Pre-seed power/twiddle caches used INSIDE jitted kernels so their
+        # first computation happens eagerly (cache-safe) rather than during
+        # a trace: the interpolation offset inverse, all FRI coset offsets,
+        # and the twiddle tables for every transform size.
+        h_inv = pow(domain.coset_offset, P - 2, P)
+        nttc.offset_powers(h_inv, N)
+        nttc.offset_powers(domain.coset_offset, 2 * N)  # h1/h2 LDE (N_fft=2N)
+        off = domain.coset_offset
+        size = N
+        while size >= 2 * domain.blowup_factor:
+            nttc.offset_powers(off, size)
+            for log in (size.bit_length() - 1,):
+                nttc._stage_twiddles(log, False)
+                nttc._stage_twiddles(log, True)
+            off = off * off % P
+            size //= 2
+        nttc._stage_twiddles((2 * N).bit_length() - 1, False)
+        nttc._stage_twiddles(n.bit_length() - 1, True)
 
     def _probe_challenges(self):
         """Dummy rap challenges for structural inspection (boundary layout)."""

@@ -32,6 +32,18 @@ from .domain import Domain
 from .grinding import generate_nonce_with_grinding
 from .kernels import get_kernels
 
+import jax
+
+
+@jax.jit
+def _gather_cols(arr, idx):
+    return jnp.take(arr, idx, axis=1)
+
+
+@jax.jit
+def _gather_last(arr, idx):
+    return jnp.take(arr, idx, axis=2)
+
 
 class ProvingError(Exception):
     pass
@@ -183,10 +195,13 @@ def prove(
         transcript.append(tree.root)
 
     zeta = transcript_to_field(transcript)
-    last_poly = fd.add(
-        coeffs[:, 0::2], fd.mul(coeffs[:, 1::2], jnp.asarray(fd.from_int(zeta)))
-    )
-    fri_last_value = fd.to_int(last_poly[:, :1]) if last_poly.shape[1] else 0
+    # final fold on host: the remaining polynomial is tiny
+    last_coeffs = fd.to_ints(coeffs)
+    folded_host = [
+        (last_coeffs[2 * i] + zeta * last_coeffs[2 * i + 1]) % P
+        for i in range(len(last_coeffs) // 2)
+    ]
+    fri_last_value = folded_host[0] if folded_host else 0
     transcript.append(fh.to_bytes_be(fri_last_value))
 
     # grinding (reference prover.rs:380-385)
@@ -217,11 +232,11 @@ def prove(
 
     # DEEP openings (reference prover.rs:484-529)
     open_idxs = [iota % N for iota in iotas]
-    h1_open = fd.to_ints(jnp.take(h1_lde, jnp.asarray(open_idxs), axis=1))
-    h2_open = fd.to_ints(jnp.take(h2_lde, jnp.asarray(open_idxs), axis=1))
+    h1_open = fd.to_ints(_gather_cols(h1_lde, jnp.asarray(open_idxs)))
+    h2_open = fd.to_ints(_gather_cols(h2_lde, jnp.asarray(open_idxs)))
     comp_paths = composition_tree.get_proofs(open_idxs)
     trace_paths_per_tree = [t.get_proofs(open_idxs) for t in lde_trace_merkle_trees]
-    trace_rows_open = jnp.take(lde_evals, jnp.asarray(open_idxs), axis=2)
+    trace_rows_open = _gather_last(lde_evals, jnp.asarray(open_idxs))
     trace_rows_ints = fd.to_ints(trace_rows_open.reshape(N_LIMBS, -1))
     deep_poly_openings = []
     for q, idx in enumerate(open_idxs):

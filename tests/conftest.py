@@ -17,7 +17,8 @@ try:
 except Exception:
     pass
 
-# Persistent compilation cache: the limb-arithmetic graphs are large and
-# recompiling them per test session dominates runtime otherwise.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: the persistent compilation cache is intentionally NOT enabled here:
+# on this image, writing executables to the cache aborts the process inside
+# put_executable_and_time (XLA serialization CHECK), and cache entries
+# written by axon-plugin processes SIGILL pure-CPU readers.  Tests pay the
+# compile cost per session instead.
