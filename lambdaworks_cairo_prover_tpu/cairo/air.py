@@ -170,6 +170,72 @@ class PublicInputs:
 # RAP challenge tuple layout: (alpha_memory, z_memory, z_range_check)
 RAP_ALPHA_MEMORY, RAP_Z_MEMORY, RAP_Z_RANGE_CHECK = 0, 1, 2
 
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as _jnp
+
+
+def _u32_keys(canon):
+    """(16, m) canonical limbs -> (lo, hi) u32 sort keys (values < 2^64)."""
+    lo = canon[0] | (canon[1] << 16)
+    hi = canon[2] | (canon[3] << 16)
+    return lo, hi
+
+
+def _stable_sort_u64(canon):
+    """Stable ascending permutation of (16, m) canonical limbs < 2^64."""
+    lo, hi = _u32_keys(canon)
+    perm1 = _jnp.argsort(lo, stable=True)
+    perm2 = _jnp.argsort(hi[perm1], stable=True)
+    return perm1[perm2]
+
+
+@_functools.partial(_jax.jit, static_argnames=("n",))
+def _aux_trace_kernel(addr_cols, val_cols, off_cols, a_aux, v_aux, z_arr,
+                      alpha_arr, zr_arr, n: int):
+    """Builds the (16, 18, n) auxiliary trace on device.
+
+    addr/val/off_cols: row-major flattened access sequences (Montgomery);
+    a_aux/v_aux: with public memory injected; challenge scalars as (16,1)."""
+    from ..field import device as fd
+
+    # sort (address, value) pairs by canonical address, stable
+    a_canon = fd.from_mont(a_aux)
+    perm = _stable_sort_u64(a_canon)
+    addr_sorted = a_aux[:, perm]
+    val_sorted = v_aux[:, perm]
+
+    # memory permutation column: cumprod of (z-(a+av))/(z-(a'+av'))
+    num = fd.sub(z_arr, fd.add(addr_cols, fd.mul(alpha_arr, val_cols)))
+    den = fd.sub(z_arr, fd.add(addr_sorted, fd.mul(alpha_arr, val_sorted)))
+    ratio = fd.mul(num, fd.batch_inverse(den))
+    perm_col = _jax.lax.associative_scan(fd.mul, ratio, axis=1)
+
+    # range-check: sort offsets (< 2^16) and cumprod of (z-x)/(z-x')
+    o_canon = fd.from_mont(off_cols)
+    operm = _jnp.argsort(o_canon[0], stable=True)
+    off_sorted = off_cols[:, operm]
+    num_rc = fd.sub(zr_arr, off_cols)
+    den_rc = fd.sub(zr_arr, off_sorted)
+    ratio_rc = fd.mul(num_rc, fd.batch_inverse(den_rc))
+    rc_perm_col = _jax.lax.associative_scan(fd.mul, ratio_rc, axis=1)
+
+    def de_interleave(flat, k):
+        return _jnp.moveaxis(flat.reshape(16, n, k), 2, 1)  # (16, k, n)
+
+    aux = _jnp.concatenate(
+        [
+            de_interleave(off_sorted, 3),
+            de_interleave(addr_sorted, 4),
+            de_interleave(val_sorted, 4),
+            de_interleave(perm_col, 4),
+            de_interleave(rc_perm_col, 3),
+        ],
+        axis=1,
+    )
+    return aux
+
 
 def CairoRAPChallenges(alpha_memory, z_memory, z_range_check):
     """Compat constructor: rap challenges are a plain tuple."""
@@ -249,6 +315,55 @@ class CairoAIR(AIR):
     # -- auxiliary (RAP) trace ---------------------------------------------
 
     def build_auxiliary_trace(self, main_trace: TraceTable, rc) -> TraceTable:
+        """Device-accelerated RAP trace: the sorts run as stable radix
+        argsorts on packed u32 keys, the cumulative products as
+        `associative_scan` over Montgomery multiplies (SURVEY §2.3:
+        sequential-looking pieces as scans)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..field import device as fdv
+
+        n = main_trace.n_rows
+        data = main_trace.data  # (16, 34.., n) Montgomery
+        pub = self.pub_inputs_
+
+        addr_cols = jnp.stack(
+            [data[:, c, :] for c in
+             (FRAME_PC, FRAME_DST_ADDR, FRAME_OP0_ADDR, FRAME_OP1_ADDR)],
+            axis=2,
+        ).reshape(16, 4 * n)  # row-major interleave (16, 4n)
+        val_cols = jnp.stack(
+            [data[:, c, :] for c in
+             (FRAME_INST, FRAME_DST, FRAME_OP0, FRAME_OP1)],
+            axis=2,
+        ).reshape(16, 4 * n)
+        off_cols = jnp.stack(
+            [data[:, c, :] for c in (OFF_DST, OFF_OP0, OFF_OP1)], axis=2
+        ).reshape(16, 3 * n)
+
+        # public-memory injection into the last pub_len slots
+        pub_addrs = self._get_pub_memory_addrs()
+        pub_vals = [pub.public_memory[a] for a in pub_addrs]
+        pub_len = len(pub_addrs)
+        from ..field import device as _f
+
+        inj_a = jnp.asarray(_f.from_ints(pub_addrs))
+        inj_v = jnp.asarray(_f.from_ints(pub_vals))
+        a_aux = jnp.concatenate([addr_cols[:, : 4 * n - pub_len], inj_a], axis=1)
+        v_aux = jnp.concatenate([val_cols[:, : 4 * n - pub_len], inj_v], axis=1)
+
+        z_arr = jnp.asarray(_f.from_int(rc[RAP_Z_MEMORY]))
+        alpha_arr = jnp.asarray(_f.from_int(rc[RAP_ALPHA_MEMORY]))
+        zr_arr = jnp.asarray(_f.from_int(rc[RAP_Z_RANGE_CHECK]))
+
+        aux = _aux_trace_kernel(
+            addr_cols, val_cols, off_cols, a_aux, v_aux, z_arr, alpha_arr,
+            zr_arr, n,
+        )
+        return TraceTable(aux)
+
+    def build_auxiliary_trace_host(self, main_trace: TraceTable, rc) -> TraceTable:
         cols = main_trace.to_int_columns()
         n = main_trace.n_rows
 

@@ -45,3 +45,14 @@ def test_rc_program_trace_satisfies_air():
     trace, pub = _validate(rc_program((250, 77, 1 << 100)))
     assert "range_check" in pub.memory_segments
     assert trace.n_cols == 43
+
+
+def test_device_aux_trace_matches_host():
+    for program in (fibonacci_program(5), rc_program((250, 77, 1 << 100))):
+        main_trace, pub_inputs = generate_prover_args(program)
+        options = ProofOptions.default_test_options()
+        air = CairoAIR(main_trace.n_rows, pub_inputs, options)
+        challenges = CairoRAPChallenges(12345, 67890, 13579)
+        aux_dev = air.build_auxiliary_trace(main_trace, challenges)
+        aux_host = air.build_auxiliary_trace_host(main_trace, challenges)
+        assert aux_dev.to_int_columns() == aux_host.to_int_columns()
