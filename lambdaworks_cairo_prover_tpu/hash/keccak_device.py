@@ -168,8 +168,16 @@ def hash_felt_rows(limbs: jnp.ndarray, n_cols: int) -> jnp.ndarray:
 
     Equivalent of lambdaworks `BatchKeccak256Tree` leaf hashing: Keccak256 of
     the concatenated 32-byte BE encodings of the row's elements.
+
+    Tiny batches are zero-padded to 128 rows: sub-tile u32 batches have
+    produced wrong digests on the axon TPU backend, and full tiles use the
+    VPU lanes properly anyway.
     """
     n_rows = limbs.shape[1]
+    if n_rows < 128:
+        pad = jnp.zeros((16, 128 - n_rows, n_cols), dtype=U32)
+        return hash_felt_rows(jnp.concatenate([limbs, pad], axis=1),
+                              n_cols)[:n_rows]
     msg_words = felts_to_be_words(limbs)  # (n_rows, n_cols, 8)
     msg_words = msg_words.reshape(n_rows, n_cols * 8)
     pad_vec = _pad_vector(n_cols * 32)
@@ -186,8 +194,13 @@ def hash_felt_leaves(limbs: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def hash_digest_pairs(digests: jnp.ndarray) -> jnp.ndarray:
-    """Parent nodes: (2k, 8) -> (k, 8), Keccak256(left || right)."""
+    """Parent nodes: (2k, 8) -> (k, 8), Keccak256(left || right).
+
+    Zero-pads tiny batches to 128 pairs (see hash_felt_rows)."""
     k = digests.shape[0] // 2
+    if k < 128:
+        pad = jnp.zeros((256 - digests.shape[0], 8), dtype=U32)
+        return hash_digest_pairs(jnp.concatenate([digests, pad], axis=0))[:k]
     msg_words = digests.reshape(k, 16)
     pad_vec = _pad_vector(64)
     pad = jnp.zeros((k, len(pad_vec) - 16), dtype=U32)
