@@ -66,9 +66,25 @@ def prove(
     proof_options: ProofOptions,
     air_class,
     instrument: bool = False,
+    mesh=None,
 ) -> StarkProof:
+    """Generate a STARK proof.
+
+    With ``mesh`` (a jax.sharding.Mesh with one axis) the trace tensor is
+    sharded over its column axis and the round kernels compile as SPMD
+    programs over the mesh — XLA inserts the collectives (frame shifts
+    become permutes, Merkle trees reduce across shards).  Proof bytes are
+    identical for any mesh shape (asserted by tests/test_sharded_prove.py).
+    """
     timings = {}
     t0 = time.perf_counter()
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        sharding = NamedSharding(mesh, PartitionSpec(None, None, axis))
+        main_trace = TraceTable(jax.device_put(main_trace.data, sharding))
 
     air = air_class(main_trace.n_rows, pub_inputs, proof_options)
     domain = Domain(air)
