@@ -288,8 +288,13 @@ def _step_4_verify_deep_composition(air, proof, domain, challenges) -> bool:
 
 
 def verify(
-    proof: StarkProof, pub_inputs, proof_options: ProofOptions, air_class
+    proof: StarkProof, pub_inputs, proof_options: ProofOptions, air_class,
+    instrument: bool = False,
 ) -> bool:
+    """Verify a proof.  With ``instrument`` prints per-step time fractions
+    (the reference's `instruments` feature, verifier.rs:644-654)."""
+    import time
+
     if len(proof.query_list) < proof_options.fri_number_of_queries:
         return False
 
@@ -297,14 +302,27 @@ def verify(
     air = air_class(proof.trace_length, pub_inputs, proof_options)
     domain = Domain(air)
 
+    times = []
+    t = time.perf_counter()
     challenges = _step_1_replay_rounds(air, proof, domain, transcript)
+    times.append(time.perf_counter() - t)
 
-    if challenges.leading_zeros_count < proof_options.grinding_factor:
-        return False
-    if not _step_2_verify_composition_poly(air, proof, domain, challenges):
-        return False
-    if not _step_3_verify_fri(proof, domain, challenges):
-        return False
-    if not _step_4_verify_deep_composition(air, proof, domain, challenges):
-        return False
-    return True
+    ok = challenges.leading_zeros_count >= proof_options.grinding_factor
+    if ok:
+        t = time.perf_counter()
+        ok = _step_2_verify_composition_poly(air, proof, domain, challenges)
+        times.append(time.perf_counter() - t)
+    if ok:
+        t = time.perf_counter()
+        ok = _step_3_verify_fri(proof, domain, challenges)
+        times.append(time.perf_counter() - t)
+    if ok:
+        t = time.perf_counter()
+        ok = _step_4_verify_deep_composition(air, proof, domain, challenges)
+        times.append(time.perf_counter() - t)
+
+    if instrument and times:
+        total = sum(times) or 1.0
+        fractions = " ".join(f"{x / total:.4f}" for x in times)
+        print(f"Fraction of verifying time per step: {fractions}")
+    return bool(ok)
