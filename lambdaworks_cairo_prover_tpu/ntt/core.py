@@ -46,12 +46,42 @@ def _is_tracer(x) -> bool:
     return isinstance(x, jax.core.Tracer)
 
 
+# Table injection: jitted prover kernels pass power/twiddle tables as traced
+# ARGUMENTS (huge tables baked as literals blow up compile past n ~ 2^14).
+# Inside the kernel body, `with inject_tables(mapping):` makes the cache
+# lookups below return the traced arguments instead of concrete arrays.
+_injected_tables: list = []
+
+
+class inject_tables:
+    def __init__(self, mapping):
+        self.mapping = mapping
+
+    def __enter__(self):
+        _injected_tables.append(self.mapping)
+        return self
+
+    def __exit__(self, *exc):
+        _injected_tables.pop()
+        return False
+
+
+def _injected(key):
+    for mapping in reversed(_injected_tables):
+        if key in mapping:
+            return mapping[key]
+    return None
+
+
 def _stage_twiddles(log_n: int, inverse: bool):
     """Tuple of per-stage twiddle arrays; stage s (m = 2^s) holds w_{2m}^j, j<m.
 
     Results are cached ONLY when computed outside a jit trace (a first call
     inside tracing would cache tracers that leak into later programs)."""
     key = (log_n, inverse)
+    inj = _injected(("tw", log_n, inverse))
+    if inj is not None:
+        return inj
     if key not in _twiddle_cache:
         stages = []
         for s in range(log_n):
@@ -69,6 +99,9 @@ def _stage_twiddles(log_n: int, inverse: bool):
 def offset_powers(offset: int, n: int) -> jnp.ndarray:
     """[offset^0 .. offset^(n-1)] (Montgomery limbs), cached when concrete."""
     key = (offset % P, n)
+    inj = _injected(("pw", offset % P, n))
+    if inj is not None:
+        return inj
     if key not in _powers_cache:
         arr = fd.powers(offset, n)
         if _is_tracer(arr):
@@ -82,13 +115,23 @@ def offset_powers(offset: int, n: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _bitrev_traced(log_n: int) -> jnp.ndarray:
+    """Bit-reversal permutation computed in-graph (no large index literal)."""
+    n = 1 << log_n
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    rev = jnp.zeros_like(idx)
+    for b in range(log_n):
+        rev = rev | (((idx >> b) & 1) << (log_n - 1 - b))
+    return rev
+
+
 @functools.partial(jax.jit, static_argnames=("log_n",))
-def _ntt_impl(x, twiddles, bitrev, log_n: int):
+def _ntt_impl(x, twiddles, log_n: int):
     """Transform along the LAST axis; leading axes (limbs first) are batch."""
     n = 1 << log_n
     lead = x.shape[1:-1]
     x = x.reshape(N_LIMBS, -1, n)
-    x = jnp.take(x, bitrev, axis=-1)
+    x = jnp.take(x, _bitrev_traced(log_n), axis=-1)
     for s in range(log_n):
         m = 1 << s
         g = n // (2 * m)
@@ -113,7 +156,7 @@ def ntt(x: jnp.ndarray) -> jnp.ndarray:
     assert 1 << log_n == n, "NTT size must be a power of two"
     if n == 1:
         return x
-    return _ntt_impl(x, _stage_twiddles(log_n, False), _bitrev_indices(log_n), log_n)
+    return _ntt_impl(x, _stage_twiddles(log_n, False), log_n)
 
 
 def intt(x: jnp.ndarray) -> jnp.ndarray:
@@ -123,7 +166,7 @@ def intt(x: jnp.ndarray) -> jnp.ndarray:
     assert 1 << log_n == n
     if n == 1:
         return x
-    y = _ntt_impl(x, _stage_twiddles(log_n, True), _bitrev_indices(log_n), log_n)
+    y = _ntt_impl(x, _stage_twiddles(log_n, True), log_n)
     n_inv = pow(n, P - 2, P)
     return fd.mul(y, jnp.asarray(fd.from_int(n_inv)).reshape((N_LIMBS,) + (1,) * (y.ndim - 1)))
 

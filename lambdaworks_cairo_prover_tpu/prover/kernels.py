@@ -114,24 +114,39 @@ class ProverKernels:
         self.tables = build_tables(pow_inputs)
         self._jit_cache = {}
 
-        # Pre-seed power/twiddle caches used INSIDE jitted kernels so their
-        # first computation happens eagerly (cache-safe) rather than during
-        # a trace: the interpolation offset inverse, all FRI coset offsets,
-        # and the twiddle tables for every transform size.
-        h_inv = pow(domain.coset_offset, P - 2, P)
-        nttc.offset_powers(h_inv, N)
-        nttc.offset_powers(domain.coset_offset, 2 * N)  # h1/h2 LDE (N_fft=2N)
-        off = domain.coset_offset
-        size = N
-        while size >= 2 * domain.blowup_factor:
-            nttc.offset_powers(off, size)
-            for log in (size.bit_length() - 1,):
-                nttc._stage_twiddles(log, False)
-                nttc._stage_twiddles(log, True)
+        # NTT tables (powers + twiddles) used INSIDE the jitted kernels are
+        # computed eagerly here and passed to each kernel as runtime
+        # ARGUMENTS via nttc.inject_tables — baking multi-MB tables as graph
+        # literals blows up compilation beyond n ~ 2^14.
+        h = domain.coset_offset
+        h_inv = pow(h, P - 2, P)
+        ntt_tables = {}
+
+        def add_pw(off, m):
+            if m >= 1:
+                ntt_tables[("pw", off % P, m)] = nttc.offset_powers(off, m)
+
+        def add_tw(log, inv):
+            if log >= 1:
+                ntt_tables[("tw", log, inv)] = nttc._stage_twiddles(log, inv)
+
+        add_pw(h, n)
+        add_pw(h, N // 2)
+        add_pw(h_inv, N)
+        add_tw(n.bit_length() - 1, True)
+        add_tw(N.bit_length() - 1, True)
+        add_tw(N.bit_length() - 1, False)
+        add_tw((2 * N).bit_length() - 1, False)
+        off = h
+        size_c = n
+        size_d = N
+        for _ in range(1, domain.root_order):
             off = off * off % P
-            size //= 2
-        nttc._stage_twiddles((2 * N).bit_length() - 1, False)
-        nttc._stage_twiddles(n.bit_length() - 1, True)
+            size_c //= 2
+            size_d //= 2
+            add_pw(off, size_c)
+            add_tw(size_d.bit_length() - 1, False)
+        self.ntt_tables = ntt_tables
 
     def _probe_challenges(self):
         """Dummy rap challenges for structural inspection (boundary layout)."""
@@ -147,18 +162,19 @@ class ProverKernels:
             domain = self.domain
 
             @jax.jit
-            def r1(data):
-                polys = nttc.interpolate_fft(data)
-                lde = nttc.evaluate_on_lde_domain(
-                    polys, domain.blowup_factor,
-                    domain.interpolation_domain_size, domain.coset_offset,
-                )
+            def r1(data, ntts):
+                with nttc.inject_tables(ntts):
+                    polys = nttc.interpolate_fft(data)
+                    lde = nttc.evaluate_on_lde_domain(
+                        polys, domain.blowup_factor,
+                        domain.interpolation_domain_size, domain.coset_offset,
+                    )
                 rows = fd.from_mont(jnp.moveaxis(lde, 1, 2))
                 leaves = kd.hash_felt_rows(rows, rows.shape[2])
                 return polys, lde, _tree_levels(leaves)
 
             self._jit_cache[key] = r1
-        return _timed("r1", self._jit_cache[key], trace_data)
+        return _timed("r1", self._jit_cache[key], trace_data, self.ntt_tables)
 
     # ------------------------------------------------------------------
     # round 2: whole-domain constraint evaluation + H + commit
@@ -190,7 +206,7 @@ class ProverKernels:
             group_list = sorted(groups.items())
 
             @jax.jit
-            def r2_eval(lde, b_ab, t_ab, b_vals, rap):
+            def r2_eval(lde, b_ab, t_ab, b_vals, rap, tables):
                 N = domain.lde_size
                 d_adj = tables["d_adj_boundary"]
                 # boundary terms, grouped per distinct step
@@ -237,18 +253,19 @@ class ProverKernels:
         if key2 not in self._jit_cache:
 
             @jax.jit
-            def r2_poly(acc):
-                h_coeffs = nttc.interpolate_offset_fft(acc, domain.coset_offset)
-                h1 = h_coeffs[:, 0::2]
-                h2 = h_coeffs[:, 1::2]
-                h1_lde = nttc.evaluate_on_lde_domain(
-                    h1, domain.blowup_factor, air.trace_length(),
-                    domain.coset_offset,
-                )
-                h2_lde = nttc.evaluate_on_lde_domain(
-                    h2, domain.blowup_factor, air.trace_length(),
-                    domain.coset_offset,
-                )
+            def r2_poly(acc, ntts):
+                with nttc.inject_tables(ntts):
+                    h_coeffs = nttc.interpolate_offset_fft(acc, domain.coset_offset)
+                    h1 = h_coeffs[:, 0::2]
+                    h2 = h_coeffs[:, 1::2]
+                    h1_lde = nttc.evaluate_on_lde_domain(
+                        h1, domain.blowup_factor, air.trace_length(),
+                        domain.coset_offset,
+                    )
+                    h2_lde = nttc.evaluate_on_lde_domain(
+                        h2, domain.blowup_factor, air.trace_length(),
+                        domain.coset_offset,
+                    )
                 return h1, h2, h1_lde, h2_lde
 
             self._jit_cache[key2] = r2_poly
@@ -266,8 +283,9 @@ class ProverKernels:
 
         acc = _timed("r2_eval", self._jit_cache[key],
                      lde_evals, boundary_ab, transition_ab, boundary_values,
-                     rap_arrays)
-        h1, h2, h1_lde, h2_lde = _timed("r2_poly", self._jit_cache[key2], acc)
+                     rap_arrays, self.tables)
+        h1, h2, h1_lde, h2_lde = _timed("r2_poly", self._jit_cache[key2], acc,
+                                        self.ntt_tables)
         levels = _timed("r2_commit", self._jit_cache[key3], h1_lde, h2_lde)
         return h1, h2, h1_lde, h2_lde, levels
 
@@ -305,7 +323,8 @@ class ProverKernels:
             n_offsets = len(air.context.transition_offsets)
 
             @jax.jit
-            def deep(lde, h1_lde_, h2_lde_, points, gammas, ghh, ood):
+            def deep(lde, h1_lde_, h2_lde_, points, gammas, ghh, ood, tables,
+                     ntts):
                 N = domain.lde_size
                 total_cols = lde.shape[1]
                 diffs = [
@@ -334,13 +353,14 @@ class ProverKernels:
                     fd.mul(fd.mul(fd.sub(h2_lde_, ood[n_offsets][:, 1:2]),
                                   invs[n_offsets]), ghh[1][:, :1]),
                 )
-                coeffs = nttc.interpolate_offset_fft(acc, domain.coset_offset)
+                with nttc.inject_tables(ntts):
+                    coeffs = nttc.interpolate_offset_fft(acc, domain.coset_offset)
                 return coeffs[:, : air.trace_length()]
 
             self._jit_cache[key] = deep
         return _timed("deep", self._jit_cache[key],
                       lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr,
-                      gammas_hh, ood_rows)
+                      gammas_hh, ood_rows, self.tables, self.ntt_tables)
 
     # ------------------------------------------------------------------
     # FRI layers
@@ -352,32 +372,35 @@ class ProverKernels:
             domain = self.domain
 
             @jax.jit
-            def layer0(cs):
-                evals = nttc.evaluate_offset_fft(
-                    cs, 1, domain.lde_size, domain.coset_offset
-                )
+            def layer0(cs, ntts):
+                with nttc.inject_tables(ntts):
+                    evals = nttc.evaluate_offset_fft(
+                        cs, 1, domain.lde_size, domain.coset_offset
+                    )
                 leaves = kd.hash_felt_leaves(fd.from_mont(evals))
                 return evals, _tree_levels(leaves)
 
             self._jit_cache[key] = layer0
-        return _timed("fri0", self._jit_cache[key], coeffs)
+        return _timed("fri0", self._jit_cache[key], coeffs, self.ntt_tables)
 
     def fri_fold_layer(self, coeffs, zeta_arr, offset_int, domain_size):
         key = ("fri", coeffs.shape, offset_int, domain_size)
         if key not in self._jit_cache:
 
             @jax.jit
-            def fold(cs, zeta):
+            def fold(cs, zeta, ntts):
                 even = cs[:, 0::2]
                 odd = cs[:, 1::2]
                 folded = fd.add(even, fd.mul(odd, zeta[:, :1]))
-                evals = nttc.evaluate_offset_fft(folded, 1, domain_size,
-                                                 offset_int)
+                with nttc.inject_tables(ntts):
+                    evals = nttc.evaluate_offset_fft(folded, 1, domain_size,
+                                                     offset_int)
                 leaves = kd.hash_felt_leaves(fd.from_mont(evals))
                 return folded, evals, _tree_levels(leaves)
 
             self._jit_cache[key] = fold
-        return _timed(f"fri_{domain_size}", self._jit_cache[key], coeffs, zeta_arr)
+        return _timed(f"fri_{domain_size}", self._jit_cache[key], coeffs,
+                      zeta_arr, self.ntt_tables)
 
 
 class _ProbeTranscript:
