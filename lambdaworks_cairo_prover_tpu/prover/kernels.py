@@ -157,24 +157,37 @@ class ProverKernels:
     # ------------------------------------------------------------------
 
     def interpolate_commit(self, trace_data):
-        key = ("r1", trace_data.shape)
+        """Split into three XLA programs (interpolate+LDE, leaf hash, tree)
+        to keep each remote compile small."""
+        key = ("r1_poly", trace_data.shape)
         if key not in self._jit_cache:
             domain = self.domain
 
             @jax.jit
-            def r1(data, ntts):
+            def r1_poly(data, ntts):
                 with nttc.inject_tables(ntts):
                     polys = nttc.interpolate_fft(data)
                     lde = nttc.evaluate_on_lde_domain(
                         polys, domain.blowup_factor,
                         domain.interpolation_domain_size, domain.coset_offset,
                     )
-                rows = fd.from_mont(jnp.moveaxis(lde, 1, 2))
-                leaves = kd.hash_felt_rows(rows, rows.shape[2])
-                return polys, lde, _tree_levels(leaves)
+                return polys, lde
 
-            self._jit_cache[key] = r1
-        return _timed("r1", self._jit_cache[key], trace_data, self.ntt_tables)
+            @jax.jit
+            def r1_leaves(lde):
+                rows = fd.from_mont(jnp.moveaxis(lde, 1, 2))
+                return kd.hash_felt_rows(rows, rows.shape[2])
+
+            @jax.jit
+            def r1_tree(leaves):
+                return _tree_levels(leaves)
+
+            self._jit_cache[key] = (r1_poly, r1_leaves, r1_tree)
+        r1_poly, r1_leaves, r1_tree = self._jit_cache[key]
+        polys, lde = _timed("r1_poly", r1_poly, trace_data, self.ntt_tables)
+        leaves = _timed("r1_leaves", r1_leaves, lde)
+        levels = _timed("r1_tree", r1_tree, leaves)
+        return polys, lde, levels
 
     # ------------------------------------------------------------------
     # round 2: whole-domain constraint evaluation + H + commit
