@@ -34,6 +34,9 @@ from ..hash import keccak_device as kd
 from ..ntt import core as nttc
 
 
+_LEAF_CHUNK = 1 << 15  # rows per leaf-hash kernel call (HBM headroom)
+
+
 def _tree_levels(leaves):
     levels = [leaves]
     cur = leaves
@@ -174,8 +177,8 @@ class ProverKernels:
                 return polys, lde
 
             @jax.jit
-            def r1_leaves(lde):
-                rows = fd.from_mont(jnp.moveaxis(lde, 1, 2))
+            def r1_leaves(lde_chunk):
+                rows = fd.from_mont(jnp.moveaxis(lde_chunk, 1, 2))
                 return kd.hash_felt_rows(rows, rows.shape[2])
 
             @jax.jit
@@ -185,7 +188,18 @@ class ProverKernels:
             self._jit_cache[key] = (r1_poly, r1_leaves, r1_tree)
         r1_poly, r1_leaves, r1_tree = self._jit_cache[key]
         polys, lde = _timed("r1_poly", r1_poly, trace_data, self.ntt_tables)
-        leaves = _timed("r1_leaves", r1_leaves, lde)
+        # leaf hashing in chunks: the limb->bytes expansion peaks at ~50x the
+        # row bytes, which OOMs HBM if done over the whole domain at once
+        N = lde.shape[2]
+        chunk = min(N, _LEAF_CHUNK)
+        if N <= chunk:
+            leaves = _timed("r1_leaves", r1_leaves, lde)
+        else:
+            parts = [
+                r1_leaves(jax.lax.slice_in_dim(lde, i, i + chunk, axis=2))
+                for i in range(0, N, chunk)
+            ]
+            leaves = jnp.concatenate(parts, axis=0)
         levels = _timed("r1_tree", r1_tree, leaves)
         return polys, lde, levels
 
