@@ -35,6 +35,29 @@ from ..ntt import core as nttc
 
 
 _LEAF_CHUNK = 1 << 15  # rows per leaf-hash kernel call (HBM headroom)
+_EVAL_CHUNK = 1 << 15  # domain points per constraint-eval / DEEP kernel call
+
+
+class _ChunkFrame:
+    """DeviceFrame over a domain chunk with a frame halo: row k of the frame
+    is the [k*blowup, k*blowup + chunk) slice of the halo'd chunk."""
+
+    def __init__(self, data, offsets, blowup, out_len):
+        from ..air.frame import _DeviceRow
+        from ..air.values import DeviceCtx
+
+        self.ctx = DeviceCtx(batch_shape=(out_len,))
+        self._rows = {
+            k: _DeviceRow(
+                self.ctx,
+                jax.lax.slice_in_dim(data, k * blowup, k * blowup + out_len,
+                                     axis=2),
+            )
+            for k in set(offsets)
+        }
+
+    def get_row(self, k):
+        return self._rows[k]
 
 
 def _tree_levels(leaves):
@@ -220,7 +243,10 @@ class ProverKernels:
         domain = self.domain
         tables = self.tables
         ctxc = air.context
-        key = ("r2_eval", lde_evals.shape)
+        N = domain.lde_size
+        chunk = min(N, _EVAL_CHUNK)
+        halo = max(ctxc.transition_offsets) * domain.blowup_factor
+        key = ("r2_eval", lde_evals.shape, chunk)
         if key not in self._jit_cache:
             b_cols = list(self.boundary_cols)
             b_steps = list(self.boundary_steps)
@@ -231,32 +257,42 @@ class ProverKernels:
                                            ctxc.transition_exemptions)):
                 groups.setdefault((d, e), []).append(i)
             group_list = sorted(groups.items())
+            table_names = (["d_adj_boundary", "zerofier_inv"]
+                           + [f"d_adj_{d}" for d in sorted(set(ctxc.transition_degrees))]
+                           + [f"exemption_{c}" for c in air.transition_exemption_counts()]
+                           + [f"bz_inv_{st}" for st in self.distinct_steps])
 
             @jax.jit
-            def r2_eval(lde, b_ab, t_ab, b_vals, rap, tables):
-                N = domain.lde_size
-                d_adj = tables["d_adj_boundary"]
-                # boundary terms, grouped per distinct step
-                acc = fd.zeros((N,))
+            def r2_eval_chunk(lde_ext, b_ab, t_ab, b_vals, rap, tables, start):
+                # slice this chunk (+halo for the frame) and its table rows
+                lde_c = jax.lax.dynamic_slice_in_dim(lde_ext, start,
+                                                     chunk + halo, axis=2)
+                tc = {
+                    name: jax.lax.dynamic_slice_in_dim(tables[name], start,
+                                                       chunk, axis=1)
+                    for name in table_names
+                }
+                d_adj = tc["d_adj_boundary"]
+                acc = fd.zeros((chunk,))
                 step_groups = {}
                 for i, (col, step) in enumerate(zip(b_cols, b_steps)):
                     step_groups.setdefault(step, []).append(i)
                 for step, idxs in step_groups.items():
                     nums = jnp.stack(
-                        [lde[:, b_cols[i], :] for i in idxs], axis=1
-                    )  # (16, g, N)
+                        [lde_c[:, b_cols[i], :chunk] for i in idxs], axis=1
+                    )  # (16, g, chunk)
                     vals = jnp.stack(
                         [b_vals[:, i: i + 1] for i in idxs], axis=1
-                    )  # (16, g, 1)
+                    )
                     alphas = jnp.stack([b_ab[0][:, i: i + 1] for i in idxs], axis=1)
                     betas = jnp.stack([b_ab[1][:, i: i + 1] for i in idxs], axis=1)
                     nums = fd.sub(nums, vals)
                     coeff = fd.add(fd.mul(d_adj[:, None, :], alphas), betas)
                     summed = nttc.sum_reduce(fd.mul(nums, coeff), axis=1)
-                    acc = fd.add(acc, fd.mul(summed, tables[f"bz_inv_{step}"]))
+                    acc = fd.add(acc, fd.mul(summed, tc[f"bz_inv_{step}"]))
 
-                frame = DeviceFrame(lde, ctxc.transition_offsets,
-                                    domain.blowup_factor)
+                frame = _ChunkFrame(lde_c, ctxc.transition_offsets,
+                                    domain.blowup_factor, chunk)
                 rap_fv = air.wrap_rap_challenges(frame.ctx, rap)
                 evals = air.compute_transition(frame, rap_fv)
                 for (degree, exemption), idxs in group_list:
@@ -264,17 +300,17 @@ class ProverKernels:
                     alphas = jnp.stack([t_ab[0][:, i: i + 1] for i in idxs], axis=1)
                     betas = jnp.stack([t_ab[1][:, i: i + 1] for i in idxs], axis=1)
                     coeff = fd.add(
-                        fd.mul(tables[f"d_adj_{degree}"][:, None, :], alphas),
+                        fd.mul(tc[f"d_adj_{degree}"][:, None, :], alphas),
                         betas,
                     )
                     summed = nttc.sum_reduce(fd.mul(evs, coeff), axis=1)
-                    summed = fd.mul(summed, tables["zerofier_inv"])
+                    summed = fd.mul(summed, tc["zerofier_inv"])
                     if exemption > 0:
-                        summed = fd.mul(summed, tables[f"exemption_{exemption}"])
+                        summed = fd.mul(summed, tc[f"exemption_{exemption}"])
                     acc = fd.add(acc, summed)
                 return acc
 
-            self._jit_cache[key] = r2_eval
+            self._jit_cache[key] = r2_eval_chunk
 
         key2 = ("r2_poly", lde_evals.shape)
         if key2 not in self._jit_cache:
@@ -308,9 +344,20 @@ class ProverKernels:
 
             self._jit_cache[key3] = r2_commit
 
-        acc = _timed("r2_eval", self._jit_cache[key],
-                     lde_evals, boundary_ab, transition_ab, boundary_values,
-                     rap_arrays, self.tables)
+        # wraparound halo then chunked evaluation
+        ext = jnp.concatenate([lde_evals, lde_evals[:, :, :halo]], axis=2)
+        kernel = self._jit_cache[key]
+        parts = []
+        t0 = time.perf_counter()
+        for a in range(0, N, chunk):
+            parts.append(kernel(ext, boundary_ab, transition_ab,
+                                boundary_values, rap_arrays, self.tables,
+                                jnp.int32(a)))
+        acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        if _DEBUG:
+            jax.block_until_ready(acc)
+            print(f"[kernel r2_eval x{len(parts)}] "
+                  f"{time.perf_counter() - t0:.2f}s", flush=True)
         h1, h2, h1_lde, h2_lde = _timed("r2_poly", self._jit_cache[key2], acc,
                                         self.ntt_tables)
         levels = _timed("r2_commit", self._jit_cache[key3], h1_lde, h2_lde)
@@ -342,52 +389,77 @@ class ProverKernels:
         """point_arrs: (n_offsets+1, 16, 1) points (z*g^k..., z^2);
         gamma_arr: (16, n_offsets*total_cols) trace gammas;
         gammas_hh: (2, 16, 1); ood_rows: (n_offsets, 16, total_cols)."""
-        key = ("r4", lde_evals.shape)
+        N = self.domain.lde_size
+        chunk = min(N, _EVAL_CHUNK)
+        n_offsets = len(self.air.context.transition_offsets)
+        key = ("r4", lde_evals.shape, chunk)
         if key not in self._jit_cache:
             air = self.air
             domain = self.domain
             tables = self.tables
-            n_offsets = len(air.context.transition_offsets)
 
             @jax.jit
-            def deep(lde, h1_lde_, h2_lde_, points, gammas, ghh, ood, tables,
-                     ntts):
-                N = domain.lde_size
-                total_cols = lde.shape[1]
+            def deep_inv(points, tables):
                 diffs = [
                     fd.sub(tables["lde_values"], points[k][:, :1])
                     for k in range(n_offsets + 1)
                 ]
-                inv_all = fd.batch_inverse(jnp.concatenate(diffs, axis=1))
-                invs = [inv_all[:, k * N: (k + 1) * N]
-                        for k in range(n_offsets + 1)]
+                return fd.batch_inverse(jnp.concatenate(diffs, axis=1))
 
-                acc = fd.zeros((N,))
+            @jax.jit
+            def deep_chunk(lde, h1_lde_, h2_lde_, inv_all, gammas, ghh, ood,
+                           start):
+                total_cols = lde.shape[1]
+                lde_c = jax.lax.dynamic_slice_in_dim(lde, start, chunk, axis=2)
+                h1_c = jax.lax.dynamic_slice_in_dim(h1_lde_, start, chunk, axis=1)
+                h2_c = jax.lax.dynamic_slice_in_dim(h2_lde_, start, chunk, axis=1)
+                invs = [
+                    jax.lax.dynamic_slice_in_dim(inv_all, k * N + start, chunk,
+                                                 axis=1)
+                    for k in range(n_offsets + 1)
+                ]
+                acc = fd.zeros((chunk,))
                 for ki in range(n_offsets):
-                    # all columns for this offset at once: (16, cols, N)
-                    nums = fd.sub(lde, ood[ki][:, :, None])
+                    nums = fd.sub(lde_c, ood[ki][:, :, None])
                     terms = fd.mul(nums, invs[ki][:, None, :])
                     g = gammas[:, ki::n_offsets]  # (16, cols)
                     terms = fd.mul(terms, g[:, :, None])
                     acc = fd.add(acc, nttc.sum_reduce(terms, axis=1))
                 acc = fd.add(
                     acc,
-                    fd.mul(fd.mul(fd.sub(h1_lde_, ood[n_offsets][:, 0:1]),
+                    fd.mul(fd.mul(fd.sub(h1_c, ood[n_offsets][:, 0:1]),
                                   invs[n_offsets]), ghh[0][:, :1]),
                 )
                 acc = fd.add(
                     acc,
-                    fd.mul(fd.mul(fd.sub(h2_lde_, ood[n_offsets][:, 1:2]),
+                    fd.mul(fd.mul(fd.sub(h2_c, ood[n_offsets][:, 1:2]),
                                   invs[n_offsets]), ghh[1][:, :1]),
                 )
+                return acc
+
+            @jax.jit
+            def deep_final(acc, ntts):
                 with nttc.inject_tables(ntts):
                     coeffs = nttc.interpolate_offset_fft(acc, domain.coset_offset)
                 return coeffs[:, : air.trace_length()]
 
-            self._jit_cache[key] = deep
-        return _timed("deep", self._jit_cache[key],
-                      lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr,
-                      gammas_hh, ood_rows, self.tables, self.ntt_tables)
+            self._jit_cache[key] = (deep_inv, deep_chunk, deep_final)
+
+        deep_inv, deep_chunk, deep_final = self._jit_cache[key]
+        t0 = time.perf_counter()
+        inv_all = deep_inv(point_arrs, self.tables)
+        parts = [
+            deep_chunk(lde_evals, h1_lde, h2_lde, inv_all, gamma_arr,
+                       gammas_hh, ood_rows, jnp.int32(a))
+            for a in range(0, N, chunk)
+        ]
+        acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        out = deep_final(acc, self.ntt_tables)
+        if _DEBUG:
+            jax.block_until_ready(out)
+            print(f"[kernel deep x{len(parts)}] {time.perf_counter() - t0:.2f}s",
+                  flush=True)
+        return out
 
     # ------------------------------------------------------------------
     # FRI layers
