@@ -36,6 +36,7 @@ from ..ntt import core as nttc
 
 _LEAF_CHUNK = 1 << 15  # rows per leaf-hash kernel call (HBM headroom)
 _EVAL_CHUNK = 1 << 15  # domain points per constraint-eval / DEEP kernel call
+_COL_CHUNK = 8         # trace columns per interpolate/LDE kernel call
 
 
 class _ChunkFrame:
@@ -183,9 +184,12 @@ class ProverKernels:
     # ------------------------------------------------------------------
 
     def interpolate_commit(self, trace_data):
-        """Split into three XLA programs (interpolate+LDE, leaf hash, tree)
-        to keep each remote compile small."""
-        key = ("r1_poly", trace_data.shape)
+        """Split into small XLA programs (interpolate+LDE per column chunk,
+        leaf hash per row chunk, tree) so remote compiles stay fast and the
+        NTT working set fits HBM at large domains."""
+        n_cols = trace_data.shape[1]
+        col_chunk = min(n_cols, _COL_CHUNK)
+        key = ("r1_poly", trace_data.shape[0], col_chunk, trace_data.shape[2])
         if key not in self._jit_cache:
             domain = self.domain
 
@@ -210,7 +214,37 @@ class ProverKernels:
 
             self._jit_cache[key] = (r1_poly, r1_leaves, r1_tree)
         r1_poly, r1_leaves, r1_tree = self._jit_cache[key]
-        polys, lde = _timed("r1_poly", r1_poly, trace_data, self.ntt_tables)
+
+        # column-chunked transform (columns are independent; pad to a
+        # multiple of the chunk so one compiled shape serves all chunks)
+        t0 = time.perf_counter()
+        if n_cols <= col_chunk:
+            polys, lde = r1_poly(trace_data, self.ntt_tables)
+            n_chunks = 1
+        else:
+            pad_cols = (-n_cols) % col_chunk
+            data = trace_data
+            if pad_cols:
+                data = jnp.concatenate(
+                    [data, jnp.zeros((16, pad_cols, data.shape[2]),
+                                     dtype=data.dtype)], axis=1
+                )
+            piece_p, piece_l = [], []
+            n_chunks = data.shape[1] // col_chunk
+            for c in range(n_chunks):
+                pp, ll = r1_poly(
+                    jax.lax.slice_in_dim(data, c * col_chunk,
+                                         (c + 1) * col_chunk, axis=1),
+                    self.ntt_tables,
+                )
+                piece_p.append(pp)
+                piece_l.append(ll)
+            polys = jnp.concatenate(piece_p, axis=1)[:, :n_cols]
+            lde = jnp.concatenate(piece_l, axis=1)[:, :n_cols]
+        if _DEBUG:
+            jax.block_until_ready(lde)
+            print(f"[kernel r1_poly x{n_chunks}] "
+                  f"{time.perf_counter() - t0:.2f}s", flush=True)
         # leaf hashing in chunks: the limb->bytes expansion peaks at ~50x the
         # row bytes, which OOMs HBM if done over the whole domain at once
         N = lde.shape[2]
