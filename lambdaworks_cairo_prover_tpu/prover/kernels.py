@@ -37,6 +37,7 @@ from ..ntt import core as nttc
 _LEAF_CHUNK = 1 << 15  # rows per leaf-hash kernel call (HBM headroom)
 _EVAL_CHUNK = 1 << 15  # domain points per constraint-eval / DEEP kernel call
 _COL_CHUNK = 8         # trace columns per interpolate/LDE kernel call
+_DOT_CHUNK = 1 << 14   # coeffs per OOD powers-dot kernel call
 
 
 class _ChunkFrame:
@@ -402,17 +403,32 @@ class ProverKernels:
     # ------------------------------------------------------------------
 
     def eval_at_powers(self, coeffs, powers_table):
-        key = ("r3", coeffs.shape, powers_table.shape)
+        L = coeffs.shape[-1]
+        chunk = min(L, _DOT_CHUNK)
+        key = ("r3", coeffs.shape, powers_table.shape, chunk)
         if key not in self._jit_cache:
 
             @jax.jit
-            def ev(cs, pw):
-                return fd.from_mont(
-                    nttc.sum_reduce(fd.mul(cs, pw), axis=-1)
-                )
+            def ev_chunk(cs, pw, start):
+                c = jax.lax.dynamic_slice_in_dim(cs, start, chunk, axis=-1)
+                p = jax.lax.dynamic_slice_in_dim(pw, start, chunk, axis=-1)
+                return nttc.sum_reduce(fd.mul(c, p), axis=-1)
 
-            self._jit_cache[key] = ev
-        return _timed("eval_at", self._jit_cache[key], coeffs, powers_table)
+            @jax.jit
+            def ev_final(stacked):
+                return fd.from_mont(nttc.sum_reduce(stacked, axis=1))
+
+            self._jit_cache[key] = (ev_chunk, ev_final)
+        ev_chunk, ev_final = self._jit_cache[key]
+        t0 = time.perf_counter()
+        parts = [ev_chunk(coeffs, powers_table, jnp.int32(a))
+                 for a in range(0, L, chunk)]
+        out = ev_final(jnp.stack(parts, axis=1))
+        if _DEBUG:
+            jax.block_until_ready(out)
+            print(f"[kernel eval_at x{len(parts)}] "
+                  f"{time.perf_counter() - t0:.2f}s", flush=True)
+        return out
 
     # ------------------------------------------------------------------
     # round 4: DEEP evaluation-form combination + interpolation
