@@ -35,11 +35,25 @@ class CairoLayout(Enum):
     Dynamic = "dynamic"
 
 
-def generate_prover_args(program: Program | bytes | str, output_range=None):
-    """Returns (main_trace: TraceTable, pub_inputs: PublicInputs)."""
-    if not isinstance(program, Program):
-        program = Program.from_json(program)
-    register_states, memory, program_size, builtin_ranges = run_program(program)
+def generate_prover_args(program: Program | bytes | str, output_range=None,
+                         cairo_version: CairoVersion = CairoVersion.V0):
+    """Returns (main_trace: TraceTable, pub_inputs: PublicInputs).
+
+    ``cairo_version=CairoVersion.V1`` treats `program` as a compiled CASM
+    contract class and runs its first EXTERNAL entrypoint (reference
+    run.rs:242-263 with the V1 arm of run_program)."""
+    if cairo_version is CairoVersion.V1:
+        from .casm import CasmContractClass, run_casm_entrypoint
+
+        casm = (program if isinstance(program, CasmContractClass)
+                else CasmContractClass.from_json(program))
+        register_states, memory, program_size, builtin_ranges = (
+            run_casm_entrypoint(casm))
+    else:
+        if not isinstance(program, Program):
+            program = Program.from_json(program)
+        register_states, memory, program_size, builtin_ranges = (
+            run_program(program))
 
     memory_segments = {}
     if "range_check" in builtin_ranges:

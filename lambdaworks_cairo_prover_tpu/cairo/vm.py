@@ -69,6 +69,10 @@ class CairoVM:
         # segmented memory: dict[(segment, offset)] -> int | Relocatable
         self.segments: list[dict[int, object]] = []
         self.trace: list[tuple[Relocatable, Relocatable, Relocatable]] = []
+        # pc-offset (program segment) -> callable(vm, ap, fp); executed
+        # before the instruction at that pc, mirroring cairo-vm hint hooks
+        self.hints: dict[int, object] = {}
+        self.builtin_bases: dict[str, Relocatable] = {}
 
     # -- segment helpers ----------------------------------------------------
 
@@ -95,7 +99,6 @@ class CairoVM:
         for i, word in enumerate(prog.data):
             self.mem_set(program_base + i, word)
 
-        self.builtin_bases: dict[str, Relocatable] = {}
         stack: list[object] = []
         for name in prog.builtins:
             base = self.add_segment()
@@ -111,11 +114,18 @@ class CairoVM:
         ap = execution_base + len(stack)
         fp = ap
         pc = program_base + prog.main_pc
+        return self.run_until(pc, ap, fp, end, max_steps)
 
+    def run_until(self, pc, ap, fp, end, max_steps: int = 1 << 24):
+        """Step until pc == end (cairo-vm `run_until_pc`), executing any
+        registered hints before each instruction."""
         steps = 0
+        hints = self.hints
         while pc != end:
             if steps >= max_steps:
                 raise CairoVMError("maximum steps exceeded")
+            if hints and pc.segment == 0 and pc.offset in hints:
+                hints[pc.offset](self, ap, fp)
             pc, ap, fp = self.step(pc, ap, fp)
             steps += 1
         # final registers are recorded by the last step's next-state in trace

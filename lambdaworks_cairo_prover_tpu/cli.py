@@ -15,14 +15,19 @@ import time
 
 def _prove(input_path: str):
     from .cairo.air import generate_cairo_proof
-    from .cairo.runner import generate_prover_args
+    from .cairo.runner import CairoVersion, generate_prover_args
     from .proof.options import ProofOptions
 
     with open(input_path, "rb") as f:
         content = f.read()
+    # `.casm` files are Cairo1 contract classes (reference main.rs:16-18)
+    version = CairoVersion.V1 if ".casm" in input_path else CairoVersion.V0
+    if version is CairoVersion.V1:
+        print("Running casm on CairoVM and generating trace ...")
     options = ProofOptions.default_test_options()
     t0 = time.perf_counter()
-    main_trace, pub_inputs = generate_prover_args(content)
+    main_trace, pub_inputs = generate_prover_args(content,
+                                                  cairo_version=version)
     proof = generate_cairo_proof(main_trace, pub_inputs, options)
     print(f"Time spent in proving: {time.perf_counter() - t0:.2f}s")
     return proof, pub_inputs, options
