@@ -184,15 +184,43 @@ def _long_mul_columns(a, b, n_cols: int):
     return cols[:n_cols]
 
 
+def _pallas_enabled() -> bool:
+    """True when the default execution target is a real TPU (the fused
+    Mosaic mul kernel only lowers there).  `LCP_PALLAS=0/1` overrides."""
+    import os
+
+    env = os.environ.get("LCP_PALLAS")
+    if env is not None:
+        return env == "1"
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", str(dd)) not in (
+            "tpu", "axon"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery modular multiplication REDC(a*b); canonical output.
 
     Long product via one outer product + anti-diagonal gathers, then
     single-shot Montgomery reduction: m = T_lo * (-p^-1) mod 2^256 and
     (T + m*p) >> 256 using the sparse prime limbs {1@0, 17@12, 2048@15}.
+
+    On TPU, batches of >= 1024 elements route to the fused Pallas kernel
+    (pallas_mul.py) — one HBM read per operand instead of materialized
+    intermediates and per-limb scan passes.
     """
     global _PINV_ARR
     from .params import P_INV_NEG_LIMBS
+
+    bs = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    n_elems = 1
+    for d in bs:
+        n_elems *= d
+    if n_elems >= 1024 and _pallas_enabled():
+        from . import pallas_mul
+
+        return pallas_mul.mul(a, b)
 
     if _PINV_ARR is None:
         _PINV_ARR = np.array(P_INV_NEG_LIMBS, dtype=np.uint32)

@@ -1,0 +1,139 @@
+"""Fused Pallas TPU kernel for Stark252 Montgomery multiplication.
+
+Same math as `device.mul` (schoolbook 16x16-bit limb product + single-shot
+sparse-prime REDC), but executed as ONE Mosaic kernel: every intermediate —
+the 256 partial products, the 33 lazy columns, the carry chains, m = T_lo *
+(-p^-1), the T + m*p accumulation and the conditional subtract — lives in
+vector registers / VMEM, so HBM sees exactly 2 operand reads and 1 result
+write per element instead of the dozens of materialized (16, 16, ...)
+intermediates and per-limb `lax.scan` passes of the XLA lowering.
+
+Data layout: operands are reshaped to ``(16, G*8, 128)`` so each limb row of
+a block is one native (8, 128) vreg tile; the grid walks G blocks of
+8*128 = 1024 elements.  All loops are unrolled at trace time — the kernel is
+straight-line u32 vector code (~2.5 vector ops per element).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .params import LIMB_MASK, N_LIMBS, P_INV_NEG_LIMBS, P_LIMBS
+
+_SUB = 8
+_LANE = 128
+_BLOCK = _SUB * _LANE  # elements per grid step
+
+
+def _carry(cols):
+    """Resolve lazy u32 columns (< 2^22) into clean 16-bit limbs."""
+    out = []
+    carry = None
+    for c in cols:
+        v = c if carry is None else c + carry
+        out.append(v & LIMB_MASK)
+        carry = v >> 16
+    return out
+
+
+def _mul_kernel(a_ref, b_ref, o_ref):
+    a = [a_ref[i] for i in range(N_LIMBS)]
+    b = [b_ref[i] for i in range(N_LIMBS)]
+
+    # T = a*b: 33 lazy columns of lo/hi 16-bit halves (each < 32 * 2^16)
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * 33
+    for i in range(N_LIMBS):
+        ai = a[i]
+        for j in range(N_LIMBS):
+            prod = ai * b[j]
+            cols[i + j] = cols[i + j] + (prod & LIMB_MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> 16)
+    t = _carry(cols)  # 33 clean limbs (carry out of limb 32 is zero)
+
+    # m = T_lo * (-p^-1) mod 2^256
+    mcols = [zero] * N_LIMBS
+    for i in range(N_LIMBS):
+        ti = t[i]
+        for j in range(N_LIMBS - i):
+            pij = P_INV_NEG_LIMBS[j]
+            if pij == 0:
+                continue
+            prod = ti * pij
+            mcols[i + j] = mcols[i + j] + (prod & LIMB_MASK)
+            if i + j + 1 < N_LIMBS:
+                mcols[i + j + 1] = mcols[i + j + 1] + (prod >> 16)
+    m = _carry(mcols)  # 16 limbs, top carry dropped (mod 2^256)
+
+    # acc = T + m*p with p = 1 + 17*2^192 + 2048*2^240 (limbs 0, 12, 15)
+    acc = list(t) + [zero]
+    for k in range(N_LIMBS):
+        mk = m[k]
+        acc[k] = acc[k] + mk
+        p17 = mk * 17
+        acc[12 + k] = acc[12 + k] + (p17 & LIMB_MASK)
+        acc[13 + k] = acc[13 + k] + (p17 >> 16)
+        p2048 = mk * 2048
+        acc[15 + k] = acc[15 + k] + (p2048 & LIMB_MASK)
+        acc[16 + k] = acc[16 + k] + (p2048 >> 16)
+    u = _carry(acc)[N_LIMBS : 2 * N_LIMBS]  # (T + m*p) / 2^256 < 2p
+
+    # conditional subtract p (borrow chain; borrow==0 <=> u >= p)
+    borrow = zero
+    diff = []
+    for k in range(N_LIMBS):
+        rhs = P_LIMBS[k] + borrow
+        nb = (u[k] < rhs).astype(jnp.uint32)
+        diff.append((u[k] - rhs) & LIMB_MASK)
+        borrow = nb
+    ge = borrow == 0
+    for k in range(N_LIMBS):
+        o_ref[k] = jnp.where(ge, diff[k], u[k])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mul_blocks(a, b, interpret=False):
+    """a, b: (16, G*8, 128) u32 -> elementwise Montgomery product."""
+    g = a.shape[1] // _SUB
+    spec = pl.BlockSpec((N_LIMBS, _SUB, _LANE), lambda i: (0, i * _SUB, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mul_kernel,
+        grid=(g,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
+        interpret=interpret,
+    )(a, b)
+
+
+def mul(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
+    """Drop-in replacement for `device.mul` on batches (trace-time shapes).
+
+    Broadcasts, flattens the batch, pads to a block multiple, runs the fused
+    kernel and restores the shape.  Callers gate on batch size (small/scalar
+    shapes stay on the XLA path — padding waste dominates there).
+    """
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    def _bcast(x):
+        pad = len(bshape) - (x.ndim - 1)
+        x = x.reshape((N_LIMBS,) + (1,) * pad + x.shape[1:])
+        return jnp.broadcast_to(x, (N_LIMBS,) + bshape)
+
+    a = _bcast(a).reshape(N_LIMBS, -1)
+    b = _bcast(b).reshape(N_LIMBS, -1)
+    n = a.shape[1]
+    padded = -(-n // _BLOCK) * _BLOCK
+    if padded != n:
+        pad = ((0, 0), (0, padded - n))
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad)
+    out = _mul_blocks(a.reshape(N_LIMBS, -1, _LANE),
+                      b.reshape(N_LIMBS, -1, _LANE), interpret=interpret)
+    return out.reshape(N_LIMBS, -1)[:, :n].reshape((N_LIMBS,) + bshape)

@@ -1,0 +1,39 @@
+"""Fused Pallas Montgomery-mul kernel vs the XLA limb path and host ints.
+
+Runs in interpreter mode so it validates on the CPU test mesh; the same
+kernel code lowers through Mosaic on real TPUs (exercised by bench.py when
+LCP_PALLAS is enabled there)."""
+
+import random
+
+import jax.numpy as jnp
+
+from lambdaworks_cairo_prover_tpu.field import device as fd
+from lambdaworks_cairo_prover_tpu.field import pallas_mul as pm
+from lambdaworks_cairo_prover_tpu.field.params import P
+
+rng = random.Random(99)
+
+
+def test_pallas_mul_matches_host_and_xla():
+    n = 1500  # forces padding to two 1024-element blocks
+    xs = [rng.randrange(P) for _ in range(n)] + [0, 1, P - 1]
+    ys = [rng.randrange(P) for _ in range(n)] + [P - 1, 0, P - 1]
+    a = jnp.asarray(fd.from_ints(xs))
+    b = jnp.asarray(fd.from_ints(ys))
+
+    got = fd.to_ints(pm.mul(a, b, interpret=True))
+    expected = [x * y % P for x, y in zip(xs, ys)]
+    assert got == expected
+
+    xla = fd.to_ints(fd.mul(a, b))
+    assert xla == expected
+
+
+def test_pallas_mul_broadcast_scalar():
+    xs = [rng.randrange(P) for _ in range(64)]
+    k = rng.randrange(P)
+    a = jnp.asarray(fd.from_ints(xs))
+    s = jnp.asarray(fd.from_int(k))
+    got = fd.to_ints(pm.mul(a, s, interpret=True))
+    assert got == [x * k % P for x in xs]
