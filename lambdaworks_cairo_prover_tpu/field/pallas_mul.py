@@ -100,7 +100,10 @@ def _mul_kernel(a_ref, b_ref, o_ref):
 def _mul_blocks(a, b, interpret=False):
     """a, b: (16, G*8, 128) u32 -> elementwise Montgomery product."""
     g = a.shape[1] // _SUB
-    spec = pl.BlockSpec((N_LIMBS, _SUB, _LANE), lambda i: (0, i * _SUB, 0),
+    # Blocked semantics: the index map returns BLOCK indices (scaled by the
+    # block shape internally), so block i along the padded-batch axis is
+    # (0, i, 0), not an element offset.
+    spec = pl.BlockSpec((N_LIMBS, _SUB, _LANE), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _mul_kernel,

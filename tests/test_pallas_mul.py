@@ -16,7 +16,7 @@ rng = random.Random(99)
 
 
 def test_pallas_mul_matches_host_and_xla():
-    n = 1500  # forces padding to two 1024-element blocks
+    n = 3500  # forces padding to four 1024-element blocks (catches block-index bugs)
     xs = [rng.randrange(P) for _ in range(n)] + [0, 1, P - 1]
     ys = [rng.randrange(P) for _ in range(n)] + [P - 1, 0, P - 1]
     a = jnp.asarray(fd.from_ints(xs))
