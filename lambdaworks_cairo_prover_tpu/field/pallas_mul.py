@@ -41,12 +41,8 @@ def _carry(cols):
     return out
 
 
-def _mul_kernel(a_ref, b_ref, o_ref):
-    a = [a_ref[i] for i in range(N_LIMBS)]
-    b = [b_ref[i] for i in range(N_LIMBS)]
-
-    # T = a*b: 33 lazy columns of lo/hi 16-bit halves (each < 32 * 2^16)
-    zero = jnp.zeros_like(a[0])
+def _redc_product(a, b, zero):
+    """16 canonical limbs of REDC(a*b) from two 16-limb register lists."""
     cols = [zero] * 33
     for i in range(N_LIMBS):
         ai = a[i]
@@ -82,8 +78,11 @@ def _mul_kernel(a_ref, b_ref, o_ref):
         acc[15 + k] = acc[15 + k] + (p2048 & LIMB_MASK)
         acc[16 + k] = acc[16 + k] + (p2048 >> 16)
     u = _carry(acc)[N_LIMBS : 2 * N_LIMBS]  # (T + m*p) / 2^256 < 2p
+    return _cond_sub_p(u, zero)
 
-    # conditional subtract p (borrow chain; borrow==0 <=> u >= p)
+
+def _cond_sub_p(u, zero):
+    """If u >= p subtract p (borrow chain; borrow==0 <=> u >= p)."""
     borrow = zero
     diff = []
     for k in range(N_LIMBS):
@@ -92,8 +91,51 @@ def _mul_kernel(a_ref, b_ref, o_ref):
         diff.append((u[k] - rhs) & LIMB_MASK)
         borrow = nb
     ge = borrow == 0
+    return [jnp.where(ge, diff[k], u[k]) for k in range(N_LIMBS)]
+
+
+def _add_mod(a, t, zero):
+    """Canonical limbs of a + t (both < p)."""
+    return _cond_sub_p(_carry([a[k] + t[k] for k in range(N_LIMBS)]), zero)
+
+
+def _sub_mod(a, t, zero):
+    """Canonical limbs of a - t (both < p)."""
+    borrow = zero
+    diff = []
     for k in range(N_LIMBS):
-        o_ref[k] = jnp.where(ge, diff[k], u[k])
+        rhs = t[k] + borrow
+        nb = (a[k] < rhs).astype(jnp.uint32)
+        diff.append((a[k] - rhs) & LIMB_MASK)
+        borrow = nb
+    # on underflow add p back (one lazy carry sweep; P_LIMBS are constants)
+    under = borrow  # 0 or 1
+    return _carry([diff[k] + P_LIMBS[k] * under for k in range(N_LIMBS)])
+
+
+def _mul_kernel(a_ref, b_ref, o_ref):
+    a = [a_ref[i] for i in range(N_LIMBS)]
+    b = [b_ref[i] for i in range(N_LIMBS)]
+    zero = jnp.zeros_like(a[0])
+    out = _redc_product(a, b, zero)
+    for k in range(N_LIMBS):
+        o_ref[k] = out[k]
+
+
+def _butterfly_kernel(a_ref, b_ref, w_ref, o0_ref, o1_ref):
+    """Radix-2 NTT butterfly: t = b*w (Montgomery), o0 = a+t, o1 = a-t —
+    one fused kernel per tile instead of three (mul/add/sub) HBM round
+    trips plus a materialized t."""
+    a = [a_ref[i] for i in range(N_LIMBS)]
+    b = [b_ref[i] for i in range(N_LIMBS)]
+    w = [w_ref[i] for i in range(N_LIMBS)]
+    zero = jnp.zeros_like(a[0])
+    t = _redc_product(b, w, zero)
+    o0 = _add_mod(a, t, zero)
+    o1 = _sub_mod(a, t, zero)
+    for k in range(N_LIMBS):
+        o0_ref[k] = o0[k]
+        o1_ref[k] = o1[k]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -140,3 +182,51 @@ def mul(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
     out = _mul_blocks(a.reshape(N_LIMBS, -1, _LANE),
                       b.reshape(N_LIMBS, -1, _LANE), interpret=interpret)
     return out.reshape(N_LIMBS, -1)[:, :n].reshape((N_LIMBS,) + bshape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _butterfly_blocks(a, b, w, interpret=False):
+    g = a.shape[1] // _SUB
+    spec = pl.BlockSpec((N_LIMBS, _SUB, _LANE), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(a.shape, jnp.uint32)
+    return pl.pallas_call(
+        _butterfly_kernel,
+        grid=(g,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(shape, shape),
+        interpret=interpret,
+    )(a, b, w)
+
+
+def butterfly(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,
+              interpret: bool = False):
+    """Fused radix-2 butterfly: returns (a + b*w, a - b*w) elementwise.
+
+    All three operands are broadcast to a common batch shape first (the NTT
+    passes w as (16, 1, 1, m) against (16, B, g, m) values)."""
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:], w.shape[1:])
+
+    def _bcast(x):
+        pad = len(bshape) - (x.ndim - 1)
+        x = x.reshape((N_LIMBS,) + (1,) * pad + x.shape[1:])
+        return jnp.broadcast_to(x, (N_LIMBS,) + bshape)
+
+    a = _bcast(a).reshape(N_LIMBS, -1)
+    b = _bcast(b).reshape(N_LIMBS, -1)
+    w = _bcast(w).reshape(N_LIMBS, -1)
+    n = a.shape[1]
+    padded = -(-n // _BLOCK) * _BLOCK
+    if padded != n:
+        pad = ((0, 0), (0, padded - n))
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad)
+        w = jnp.pad(w, pad)
+    o0, o1 = _butterfly_blocks(a.reshape(N_LIMBS, -1, _LANE),
+                               b.reshape(N_LIMBS, -1, _LANE),
+                               w.reshape(N_LIMBS, -1, _LANE),
+                               interpret=interpret)
+    out_shape = (N_LIMBS,) + bshape
+    return (o0.reshape(N_LIMBS, -1)[:, :n].reshape(out_shape),
+            o1.reshape(N_LIMBS, -1)[:, :n].reshape(out_shape))

@@ -132,6 +132,7 @@ def _ntt_impl(x, twiddles, log_n: int):
     lead = x.shape[1:-1]
     x = x.reshape(N_LIMBS, -1, n)
     x = jnp.take(x, _bitrev_traced(log_n), axis=-1)
+    use_fused = n * max(1, x.shape[1]) // 2 >= 1024 and fd._pallas_enabled()
     for s in range(log_n):
         m = 1 << s
         g = n // (2 * m)
@@ -139,10 +140,14 @@ def _ntt_impl(x, twiddles, log_n: int):
         a = xv[:, :, :, 0, :]
         b = xv[:, :, :, 1, :]
         w = twiddles[s][:, None, None, :]  # (16, 1, 1, m)
-        t = fd.mul(b, w)
-        x = jnp.stack([fd.add(a, t), fd.sub(a, t)], axis=3).reshape(
-            N_LIMBS, x.shape[1], n
-        )
+        if use_fused:
+            from ..field import pallas_mul
+
+            hi, lo = pallas_mul.butterfly(a, b, w)
+        else:
+            t = fd.mul(b, w)
+            hi, lo = fd.add(a, t), fd.sub(a, t)
+        x = jnp.stack([hi, lo], axis=3).reshape(N_LIMBS, x.shape[1], n)
     return x.reshape((N_LIMBS,) + lead + (n,))
 
 

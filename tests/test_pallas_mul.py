@@ -30,6 +30,19 @@ def test_pallas_mul_matches_host_and_xla():
     assert xla == expected
 
 
+def test_pallas_butterfly_matches_host():
+    n = 1300
+    xs = [rng.randrange(P) for _ in range(n)]
+    ys = [rng.randrange(P) for _ in range(n)]
+    ws = [rng.randrange(P) for _ in range(n)]
+    a = jnp.asarray(fd.from_ints(xs))
+    b = jnp.asarray(fd.from_ints(ys))
+    w = jnp.asarray(fd.from_ints(ws))
+    o0, o1 = pm.butterfly(a, b, w, interpret=True)
+    assert fd.to_ints(o0) == [(x + y * z) % P for x, y, z in zip(xs, ys, ws)]
+    assert fd.to_ints(o1) == [(x - y * z) % P for x, y, z in zip(xs, ys, ws)]
+
+
 def test_pallas_mul_broadcast_scalar():
     xs = [rng.randrange(P) for _ in range(64)]
     k = rng.randrange(P)
