@@ -44,8 +44,11 @@ def main():
         sys.exit(1)
 
     t0 = time.perf_counter()
-    generate_cairo_proof(main_trace, pub_inputs, options)
+    proof2 = generate_cairo_proof(main_trace, pub_inputs, options)
     elapsed = time.perf_counter() - t0
+    if os.environ.get("LCP_DEBUG_KERNELS") == "1":
+        timings = getattr(proof2, "_timings", {})
+        print({k: round(v, 3) for k, v in timings.items()}, file=sys.stderr)
 
     print(json.dumps({
         "metric": f"prover_cairo_fib{fib_n}_wall_time",

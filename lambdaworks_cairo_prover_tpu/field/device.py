@@ -117,14 +117,29 @@ def _cond_sub_p(limbs: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((borrow == 0)[None], diff, limbs)
 
 
+def _batch_elems(a, b) -> int:
+    n = 1
+    for d in jnp.broadcast_shapes(a.shape[1:], b.shape[1:]):
+        n *= d
+    return n
+
+
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular addition of canonical limb tensors."""
+    if _batch_elems(a, b) >= 1024 and _pallas_enabled():
+        from . import pallas_mul
+
+        return pallas_mul.add(a, b)
     limbs = _carry_scan(a + b)  # sum < 2p < 2^253: carry out is 0
     return _cond_sub_p(limbs)
 
 
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular subtraction a - b."""
+    if _batch_elems(a, b) >= 1024 and _pallas_enabled():
+        from . import pallas_mul
+
+        return pallas_mul.sub(a, b)
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     a = jnp.broadcast_to(a, (N_LIMBS,) + bshape)
     b = jnp.broadcast_to(b, (N_LIMBS,) + bshape)

@@ -122,6 +122,22 @@ def _mul_kernel(a_ref, b_ref, o_ref):
         o_ref[k] = out[k]
 
 
+def _add_kernel(a_ref, b_ref, o_ref):
+    a = [a_ref[i] for i in range(N_LIMBS)]
+    b = [b_ref[i] for i in range(N_LIMBS)]
+    out = _add_mod(a, b, jnp.zeros_like(a[0]))
+    for k in range(N_LIMBS):
+        o_ref[k] = out[k]
+
+
+def _sub_kernel(a_ref, b_ref, o_ref):
+    a = [a_ref[i] for i in range(N_LIMBS)]
+    b = [b_ref[i] for i in range(N_LIMBS)]
+    out = _sub_mod(a, b, jnp.zeros_like(a[0]))
+    for k in range(N_LIMBS):
+        o_ref[k] = out[k]
+
+
 def _butterfly_kernel(a_ref, b_ref, w_ref, o0_ref, o1_ref):
     """Radix-2 NTT butterfly: t = b*w (Montgomery), o0 = a+t, o1 = a-t —
     one fused kernel per tile instead of three (mul/add/sub) HBM round
@@ -138,9 +154,12 @@ def _butterfly_kernel(a_ref, b_ref, w_ref, o0_ref, o1_ref):
         o1_ref[k] = o1[k]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mul_blocks(a, b, interpret=False):
-    """a, b: (16, G*8, 128) u32 -> elementwise Montgomery product."""
+_KERNELS = {"mul": _mul_kernel, "add": _add_kernel, "sub": _sub_kernel}
+
+
+@functools.partial(jax.jit, static_argnames=("op", "interpret"))
+def _binop_blocks(a, b, op, interpret=False):
+    """a, b: (16, G*8, 128) u32 -> elementwise modular op."""
     g = a.shape[1] // _SUB
     # Blocked semantics: the index map returns BLOCK indices (scaled by the
     # block shape internally), so block i along the padded-batch axis is
@@ -148,7 +167,7 @@ def _mul_blocks(a, b, interpret=False):
     spec = pl.BlockSpec((N_LIMBS, _SUB, _LANE), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _mul_kernel,
+        _KERNELS[op],
         grid=(g,),
         in_specs=[spec, spec],
         out_specs=spec,
@@ -157,13 +176,10 @@ def _mul_blocks(a, b, interpret=False):
     )(a, b)
 
 
-def mul(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
-    """Drop-in replacement for `device.mul` on batches (trace-time shapes).
-
-    Broadcasts, flattens the batch, pads to a block multiple, runs the fused
-    kernel and restores the shape.  Callers gate on batch size (small/scalar
-    shapes stay on the XLA path — padding waste dominates there).
-    """
+def _binop(a, b, op, interpret):
+    """Broadcast, flatten the batch, pad to a block multiple, run the fused
+    kernel and restore the shape.  Callers gate on batch size (small/scalar
+    shapes stay on the XLA path — padding waste dominates there)."""
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
 
     def _bcast(x):
@@ -179,9 +195,25 @@ def mul(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
         pad = ((0, 0), (0, padded - n))
         a = jnp.pad(a, pad)
         b = jnp.pad(b, pad)
-    out = _mul_blocks(a.reshape(N_LIMBS, -1, _LANE),
-                      b.reshape(N_LIMBS, -1, _LANE), interpret=interpret)
+    out = _binop_blocks(a.reshape(N_LIMBS, -1, _LANE),
+                        b.reshape(N_LIMBS, -1, _LANE), op,
+                        interpret=interpret)
     return out.reshape(N_LIMBS, -1)[:, :n].reshape((N_LIMBS,) + bshape)
+
+
+def mul(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
+    """Drop-in replacement for `device.mul` on large batches."""
+    return _binop(a, b, "mul", interpret)
+
+
+def add(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
+    """Drop-in replacement for `device.add` on large batches."""
+    return _binop(a, b, "add", interpret)
+
+
+def sub(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False):
+    """Drop-in replacement for `device.sub` on large batches."""
+    return _binop(a, b, "sub", interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -30,6 +30,18 @@ def test_pallas_mul_matches_host_and_xla():
     assert xla == expected
 
 
+def test_pallas_add_sub_match_host():
+    n = 2100
+    xs = [rng.randrange(P) for _ in range(n)] + [0, P - 1, P - 1]
+    ys = [rng.randrange(P) for _ in range(n)] + [0, P - 1, 1]
+    a = jnp.asarray(fd.from_ints(xs))
+    b = jnp.asarray(fd.from_ints(ys))
+    assert fd.to_ints(pm.add(a, b, interpret=True)) == [
+        (x + y) % P for x, y in zip(xs, ys)]
+    assert fd.to_ints(pm.sub(a, b, interpret=True)) == [
+        (x - y) % P for x, y in zip(xs, ys)]
+
+
 def test_pallas_butterfly_matches_host():
     n = 1300
     xs = [rng.randrange(P) for _ in range(n)]
