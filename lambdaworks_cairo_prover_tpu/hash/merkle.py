@@ -28,6 +28,16 @@ def _gather_rows(level, idx):
     return jnp.take(level, idx, axis=0)
 
 
+@jax.jit
+def _gather_levels(levels, idxs):
+    """One fused gather of per-level sibling digests: a single dispatch and
+    a single host transfer per get_proofs call instead of one per tree
+    level (which over a remote-tunnel link dominates query time)."""
+    return jnp.concatenate(
+        [jnp.take(lv, ix, axis=0) for lv, ix in zip(levels, idxs)], axis=0
+    )
+
+
 class MerkleTree:
     def __init__(self, levels):
         # levels[0] = leaf digests (n, 8) ... levels[-1] = root (1, 8)
@@ -63,15 +73,21 @@ class MerkleTree:
 
     def get_proofs(self, indices: list[int]) -> list[list[bytes]]:
         """Authentication paths (sibling digests leaf->root) for each index."""
-        paths = [[] for _ in indices]
+        q = len(indices)
+        if q == 0:
+            return []
+        sib_idxs = []
         idxs = list(indices)
-        for level in self.levels[:-1]:
-            sibs = np.asarray(
-                _gather_rows(level, jnp.asarray([i ^ 1 for i in idxs]))
-            )
-            for q, s in enumerate(sibs):
-                paths[q].append(kd.digest_to_bytes(s))
+        for _ in self.levels[:-1]:
+            sib_idxs.append(jnp.asarray([i ^ 1 for i in idxs]))
             idxs = [i >> 1 for i in idxs]
+        sibs = np.asarray(
+            _gather_levels(tuple(self.levels[:-1]), tuple(sib_idxs))
+        )
+        paths = [[] for _ in range(q)]
+        for li in range(len(self.levels) - 1):
+            for qi in range(q):
+                paths[qi].append(kd.digest_to_bytes(sibs[li * q + qi]))
         return paths
 
 

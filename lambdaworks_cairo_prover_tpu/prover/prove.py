@@ -233,13 +233,15 @@ def prove(
         for _ in range(proof_options.fri_number_of_queries)
     ]
     query_list = [FriDecommitment([], [], [], []) for _ in iotas]
+    nq = len(iotas)
     for evals, tree, ds in fri_layers:
         idxs = [iota % ds for iota in iotas]
         idxs_sym = [(iota + ds // 2) % ds for iota in iotas]
-        vals = fd.to_ints(jnp.take(evals, jnp.asarray(idxs), axis=1))
-        vals_sym = fd.to_ints(jnp.take(evals, jnp.asarray(idxs_sym), axis=1))
-        paths = tree.get_proofs(idxs)
-        paths_sym = tree.get_proofs(idxs_sym)
+        both = fd.to_ints(jnp.take(evals, jnp.asarray(idxs + idxs_sym),
+                                   axis=1))
+        vals, vals_sym = both[:nq], both[nq:]
+        paths_both = tree.get_proofs(idxs + idxs_sym)
+        paths, paths_sym = paths_both[:nq], paths_both[nq:]
         for q in range(len(iotas)):
             query_list[q].layers_evaluations.append(vals[q])
             query_list[q].layers_evaluations_sym.append(vals_sym[q])
