@@ -52,8 +52,17 @@ def generate_prover_args(program: Program | bytes | str, output_range=None,
     else:
         if not isinstance(program, Program):
             program = Program.from_json(program)
-        register_states, memory, program_size, builtin_ranges = (
-            run_program(program))
+        from . import native as native_vm
+
+        # the C++ VM (bit-identical outputs, tests/test_native_vm.py) does
+        # the per-step interpretation ~50x faster; it reports the rc range
+        # only, so programs with an output segment use the python VM
+        if native_vm.available() and "output" not in program.builtins:
+            register_states, memory, program_size, builtin_ranges = (
+                native_vm.run_program_native(program))
+        else:
+            register_states, memory, program_size, builtin_ranges = (
+                run_program(program))
 
     memory_segments = {}
     if "range_check" in builtin_ranges:
