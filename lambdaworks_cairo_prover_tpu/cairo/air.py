@@ -210,7 +210,8 @@ def _aux_trace_kernel(addr_cols, val_cols, off_cols, a_aux, v_aux, z_arr,
     num = fd.sub(z_arr, fd.add(addr_cols, fd.mul(alpha_arr, val_cols)))
     den = fd.sub(z_arr, fd.add(addr_sorted, fd.mul(alpha_arr, val_sorted)))
     ratio = fd.mul(num, fd.batch_inverse(den))
-    perm_col = _jax.lax.associative_scan(fd.mul, ratio, axis=1)
+    perm_col = _jax.lax.associative_scan(
+        lambda x, y: fd.mul(x, y, prefer_pallas=False), ratio, axis=1)
 
     # range-check: sort offsets (< 2^16) and cumprod of (z-x)/(z-x')
     o_canon = fd.from_mont(off_cols)
@@ -219,7 +220,8 @@ def _aux_trace_kernel(addr_cols, val_cols, off_cols, a_aux, v_aux, z_arr,
     num_rc = fd.sub(zr_arr, off_cols)
     den_rc = fd.sub(zr_arr, off_sorted)
     ratio_rc = fd.mul(num_rc, fd.batch_inverse(den_rc))
-    rc_perm_col = _jax.lax.associative_scan(fd.mul, ratio_rc, axis=1)
+    rc_perm_col = _jax.lax.associative_scan(
+        lambda x, y: fd.mul(x, y, prefer_pallas=False), ratio_rc, axis=1)
 
     def de_interleave(flat, k):
         return _jnp.moveaxis(flat.reshape(16, n, k), 2, 1)  # (16, k, n)

@@ -124,9 +124,9 @@ def _batch_elems(a, b) -> int:
     return n
 
 
-def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def add(a: jnp.ndarray, b: jnp.ndarray, prefer_pallas: bool = True) -> jnp.ndarray:
     """Modular addition of canonical limb tensors."""
-    if _batch_elems(a, b) >= 1024 and _pallas_enabled():
+    if prefer_pallas and _batch_elems(a, b) >= 1024 and _pallas_enabled():
         from . import pallas_mul
 
         return pallas_mul.add(a, b)
@@ -134,9 +134,9 @@ def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _cond_sub_p(limbs)
 
 
-def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def sub(a: jnp.ndarray, b: jnp.ndarray, prefer_pallas: bool = True) -> jnp.ndarray:
     """Modular subtraction a - b."""
-    if _batch_elems(a, b) >= 1024 and _pallas_enabled():
+    if prefer_pallas and _batch_elems(a, b) >= 1024 and _pallas_enabled():
         from . import pallas_mul
 
         return pallas_mul.sub(a, b)
@@ -214,7 +214,7 @@ def _pallas_enabled() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def mul(a: jnp.ndarray, b: jnp.ndarray, prefer_pallas: bool = True) -> jnp.ndarray:
     """Montgomery modular multiplication REDC(a*b); canonical output.
 
     Long product via one outer product + anti-diagonal gathers, then
@@ -232,7 +232,7 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     n_elems = 1
     for d in bs:
         n_elems *= d
-    if n_elems >= 1024 and _pallas_enabled():
+    if prefer_pallas and n_elems >= 1024 and _pallas_enabled():
         from . import pallas_mul
 
         return pallas_mul.mul(a, b)

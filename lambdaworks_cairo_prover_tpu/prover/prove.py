@@ -76,6 +76,13 @@ def prove(
     become permutes, Merkle trees reduce across shards).  Proof bytes are
     identical for any mesh shape (asserted by tests/test_sharded_prove.py).
     """
+    import os
+
+    profile_dir = os.environ.get("LCP_PROFILE")
+    if profile_dir:
+        # SURVEY §5 tracing parity: XLA/TPU timeline for xprof/tensorboard
+        jax.profiler.start_trace(profile_dir)
+
     timings = {}
     t0 = time.perf_counter()
 
@@ -292,4 +299,6 @@ def prove(
         trace_length=n,
     )
     proof._timings = timings
+    if profile_dir:
+        jax.profiler.stop_trace()
     return proof
