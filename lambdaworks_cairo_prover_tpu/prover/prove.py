@@ -67,6 +67,7 @@ def prove(
     air_class,
     instrument: bool = False,
     mesh=None,
+    transcript_factory=DefaultTranscript,
 ) -> StarkProof:
     """Generate a STARK proof.
 
@@ -96,7 +97,7 @@ def prove(
     air = air_class(main_trace.n_rows, pub_inputs, proof_options)
     domain = Domain(air)
     kern = get_kernels(air, domain)
-    transcript = DefaultTranscript()
+    transcript = transcript_factory()
     n = air.trace_length()
     N = domain.lde_size
     h = domain.coset_offset

@@ -1,5 +1,6 @@
 from .fiat_shamir import (
     DefaultTranscript,
+    TestTranscript,
     batch_sample_challenges,
     sample_z_ood,
     transcript_to_field,

@@ -27,6 +27,26 @@ class DefaultTranscript:
         return digest
 
 
+class TestTranscript:
+    """Deterministic counter transcript — the analog of the reference's
+    `test_fiat_shamir` feature, which swaps `DefaultTranscript` for
+    lambdaworks-crypto's `TestTranscript` in both prover and verifier
+    (prover.rs:85-88, verifier.rs:31-34) so protocol tests are
+    hash-independent.  Absorbed data is ignored; challenge i is the 32-byte
+    BE encoding of i."""
+
+    def __init__(self) -> None:
+        self._counter = 0
+
+    def append(self, data: bytes) -> None:
+        pass
+
+    def challenge(self) -> bytes:
+        c = self._counter.to_bytes(32, "big")
+        self._counter += 1
+        return c
+
+
 def transcript_to_field(transcript) -> int:
     """251-bit-masked field draw (reference transcript.rs:13-43)."""
     return fh.randomness_to_field(transcript.challenge())

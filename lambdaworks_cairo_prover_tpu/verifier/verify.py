@@ -290,6 +290,7 @@ def _step_4_verify_deep_composition(air, proof, domain, challenges) -> bool:
 def verify(
     proof: StarkProof, pub_inputs, proof_options: ProofOptions, air_class,
     instrument: bool = False,
+    transcript_factory=DefaultTranscript,
 ) -> bool:
     """Verify a proof.  With ``instrument`` prints per-step time fractions
     (the reference's `instruments` feature, verifier.rs:644-654)."""
@@ -298,7 +299,7 @@ def verify(
     if len(proof.query_list) < proof_options.fri_number_of_queries:
         return False
 
-    transcript = DefaultTranscript()
+    transcript = transcript_factory()
     air = air_class(proof.trace_length, pub_inputs, proof_options)
     domain = Domain(air)
 
