@@ -6,7 +6,8 @@ criterion_prover benchmark shape, benches/criterion_prover.rs).  The
 reference publishes no numbers (BASELINE.md), so vs_baseline is reported
 against the recorded target of 1.0 until a measured Rust baseline exists.
 
-Env knobs: BENCH_FIB (default 500), BENCH_QUERIES, BENCH_BLOWUP.
+Env knobs: BENCH_FIB (default 500), BENCH_QUERIES, BENCH_BLOWUP,
+BENCH_GRINDING.
 """
 
 import json
@@ -30,7 +31,7 @@ def main():
         blowup_factor=int(os.environ.get("BENCH_BLOWUP", "4")),
         fri_number_of_queries=int(os.environ.get("BENCH_QUERIES", "3")),
         coset_offset=3,
-        grinding_factor=1,
+        grinding_factor=int(os.environ.get("BENCH_GRINDING", "1")),
     )
 
     main_trace, pub_inputs = generate_prover_args(fibonacci_program(fib_n))
