@@ -57,7 +57,35 @@ def keccak_f(state: list[int]) -> list[int]:
 _RATE = 136  # bytes, for 256-bit output
 
 
+def _load_native():
+    """ctypes handle to native/libkeccak256.so, or None (python fallback)."""
+    import ctypes
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native", "libkeccak256.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.keccak256.restype = None
+    lib.keccak256.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.c_char_p]
+    return lib
+
+
+_NATIVE = _load_native()
+
+
 def keccak256(data: bytes) -> bytes:
+    if _NATIVE is not None:
+        out = bytes(32)
+        _NATIVE.keccak256(data, len(data), out)
+        return out
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     state = [0] * 25
     # pad: 0x01 ... 0x80 (original Keccak; SHA3 would use 0x06)
     padlen = _RATE - (len(data) % _RATE)

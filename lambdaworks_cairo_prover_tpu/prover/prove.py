@@ -18,7 +18,8 @@ from ..air.trace import TraceTable
 from ..field import device as fd
 from ..field import host as fh
 from ..field.params import N_LIMBS, P
-from ..hash.merkle import MerkleTree
+from ..hash.keccak_host import keccak256
+from ..hash.merkle import MerkleTree, hash_leaf_felts_host
 from ..ntt import core as nttc
 from ..proof.options import ProofOptions
 from ..proof.stark import DeepPolynomialOpenings, FriDecommitment, StarkProof
@@ -47,6 +48,81 @@ def _gather_last(arr, idx):
 
 class ProvingError(Exception):
     pass
+
+
+_HOST_FRI_THRESHOLD = 4096  # fold FRI layers of this size or less on host
+# Rationale: each device FRI layer costs a dispatch + a root transfer; over
+# a remote link those round-trips dominate the tail (the polynomial shrinks
+# geometrically).  With the native keccak library the host finishes all
+# remaining layers in a few ms with zero device traffic.
+
+
+def _host_fold(coeffs: list[int], zeta: int) -> list[int]:
+    """even + zeta*odd, keeping the length (= next domain size)."""
+    return [
+        (coeffs[2 * i] + zeta * coeffs[2 * i + 1]) % P
+        for i in range(len(coeffs) // 2)
+    ]
+
+
+def _host_evaluate_offset_fft(coeffs: list[int], domain_size: int,
+                              offset: int) -> list[int]:
+    """lambdaworks `evaluate_offset_fft` semantics for the host tail
+    (blowup 1): scale by offset powers, pad to domain_size, radix-2 FFT."""
+    from ..field.params import get_primitive_root_of_unity
+
+    scaled = []
+    o = 1
+    for c in coeffs:
+        scaled.append(c * o % P)
+        o = o * offset % P
+    scaled.extend([0] * (domain_size - len(scaled)))
+    # helper takes log2(order) (lambdaworks convention)
+    return _host_fft(scaled,
+                     get_primitive_root_of_unity(domain_size.bit_length() - 1))
+
+
+def _host_fft(a: list[int], w: int) -> list[int]:
+    n = len(a)
+    if n == 1:
+        return a
+    even = _host_fft(a[0::2], w * w % P)
+    odd = _host_fft(a[1::2], w * w % P)
+    out = [0] * n
+    x = 1
+    for i in range(n // 2):
+        t = x * odd[i] % P
+        out[i] = (even[i] + t) % P
+        out[i + n // 2] = (even[i] - t) % P
+        x = x * w % P
+    return out
+
+
+class _HostMerkle:
+    """Host Merkle tree over precomputed leaf digests; same node rule and
+    proof API as hash.merkle.MerkleTree (node = keccak(left || right))."""
+
+    def __init__(self, leaf_digests: list[bytes]):
+        levels = [leaf_digests]
+        cur = leaf_digests
+        while len(cur) > 1:
+            cur = [keccak256(cur[i] + cur[i + 1])
+                   for i in range(0, len(cur), 2)]
+            levels.append(cur)
+        self.levels = levels
+
+    @property
+    def root(self) -> bytes:
+        return self.levels[-1][0]
+
+    def get_proofs(self, indices: list[int]) -> list[list[bytes]]:
+        paths = [[] for _ in indices]
+        idxs = list(indices)
+        for level in self.levels[:-1]:
+            for q, i in enumerate(idxs):
+                paths[q].append(level[i ^ 1])
+            idxs = [i >> 1 for i in idxs]
+        return paths
 
 
 def _arr(ints) -> jnp.ndarray:
@@ -207,20 +283,31 @@ def prove(
     coeffs = deep_coeffs
     offset_int = h
     domain_size = N
+    host_coeffs = None  # once small enough, fold/hash layers on host
     for _ in range(1, number_layers):
         zeta = transcript_to_field(transcript)
         offset_int = offset_int * offset_int % P
         domain_size //= 2
-        coeffs, evals, levels = kern.fri_fold_layer(
-            coeffs, jnp.asarray(fd.from_int(zeta)), offset_int, domain_size
-        )
-        tree = MerkleTree(list(levels))
-        fri_layers.append((evals, tree, domain_size))
+        if host_coeffs is None and domain_size <= _HOST_FRI_THRESHOLD:
+            host_coeffs = fd.to_ints(coeffs)
+        if host_coeffs is not None:
+            host_coeffs = _host_fold(host_coeffs, zeta)
+            evals = _host_evaluate_offset_fft(host_coeffs, domain_size,
+                                              offset_int)
+            tree = _HostMerkle([hash_leaf_felts_host([v]) for v in evals])
+            fri_layers.append((evals, tree, domain_size))
+        else:
+            coeffs, evals, levels = kern.fri_fold_layer(
+                coeffs, jnp.asarray(fd.from_int(zeta)), offset_int,
+                domain_size
+            )
+            tree = MerkleTree(list(levels))
+            fri_layers.append((evals, tree, domain_size))
         transcript.append(tree.root)
 
     zeta = transcript_to_field(transcript)
     # final fold on host: the remaining polynomial is tiny
-    last_coeffs = fd.to_ints(coeffs)
+    last_coeffs = host_coeffs if host_coeffs is not None else fd.to_ints(coeffs)
     folded_host = [
         (last_coeffs[2 * i] + zeta * last_coeffs[2 * i + 1]) % P
         for i in range(len(last_coeffs) // 2)
@@ -245,8 +332,11 @@ def prove(
     for evals, tree, ds in fri_layers:
         idxs = [iota % ds for iota in iotas]
         idxs_sym = [(iota + ds // 2) % ds for iota in iotas]
-        both = fd.to_ints(jnp.take(evals, jnp.asarray(idxs + idxs_sym),
-                                   axis=1))
+        if isinstance(evals, list):  # host-tail layer
+            both = [evals[i] for i in idxs + idxs_sym]
+        else:
+            both = fd.to_ints(jnp.take(evals, jnp.asarray(idxs + idxs_sym),
+                                       axis=1))
         vals, vals_sym = both[:nq], both[nq:]
         paths_both = tree.get_proofs(idxs + idxs_sym)
         paths, paths_sym = paths_both[:nq], paths_both[nq:]
