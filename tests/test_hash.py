@@ -104,3 +104,20 @@ def test_transcript_basic():
     assert t2.challenge() == c1
     f = transcript_to_field(t2)
     assert 0 <= f < P
+
+
+def test_native_keccak_matches_python():
+    """native/libkeccak256.so vs the pure-python permutation (all padding
+    paths: empty, sub-block, exact block, multi-block)."""
+    import random
+
+    from lambdaworks_cairo_prover_tpu.hash import keccak_host as kh
+
+    if kh._NATIVE is None:
+        import pytest
+
+        pytest.skip("native keccak library not built")
+    rng = random.Random(17)
+    for ln in [0, 1, 32, 64, 135, 136, 137, 272, 1000]:
+        data = bytes(rng.randrange(256) for _ in range(ln))
+        assert kh.keccak256(data) == kh._keccak256_py(data)
