@@ -25,6 +25,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .params import LIMB_MASK, N_LIMBS, P_INV_NEG_LIMBS, P_LIMBS
 
+import os
+
+# LCP_PALLAS_INTERPRET=1 forces interpreter-mode pallas everywhere — used by
+# the CPU test suite to exercise the exact fused-kernel code paths
+_FORCE_INTERPRET = os.environ.get("LCP_PALLAS_INTERPRET") == "1"
+
+
+def _interp(flag: bool) -> bool:
+    return flag or _FORCE_INTERPRET
+
 _SUB = 8
 _LANE = 128
 _BLOCK = _SUB * _LANE  # elements per grid step
@@ -138,6 +148,42 @@ def _sub_kernel(a_ref, b_ref, o_ref):
         o_ref[k] = out[k]
 
 
+def _butterfly2_kernel(a_ref, b_ref, c_ref, d_ref, w_ref, w2a_ref, w2b_ref,
+                       x0_ref, x1_ref, x2_ref, x3_ref):
+    """Two fused radix-2 NTT stages (a radix-4 step): for a block
+    [A, B, C, D] of four m-strided quarters,
+      stage s:   A' = A + w*B,  B' = A - w*B,  C' = C + w*D,  D' = C - w*D
+      stage s+1: X0 = A' + w2a*C', X2 = A' - w2a*C',
+                 X1 = B' + w2b*D', X3 = B' - w2b*D'
+    — 3 Montgomery products per 4 points (vs 4 over two separate stages)
+    and ONE HBM round trip instead of two."""
+    a = [a_ref[i] for i in range(N_LIMBS)]
+    b = [b_ref[i] for i in range(N_LIMBS)]
+    c = [c_ref[i] for i in range(N_LIMBS)]
+    d = [d_ref[i] for i in range(N_LIMBS)]
+    w = [w_ref[i] for i in range(N_LIMBS)]
+    w2a = [w2a_ref[i] for i in range(N_LIMBS)]
+    w2b = [w2b_ref[i] for i in range(N_LIMBS)]
+    zero = jnp.zeros_like(a[0])
+    t = _redc_product(b, w, zero)
+    a1 = _add_mod(a, t, zero)
+    b1 = _sub_mod(a, t, zero)
+    t = _redc_product(d, w, zero)
+    c1 = _add_mod(c, t, zero)
+    d1 = _sub_mod(c, t, zero)
+    u = _redc_product(c1, w2a, zero)
+    x0 = _add_mod(a1, u, zero)
+    x2 = _sub_mod(a1, u, zero)
+    v = _redc_product(d1, w2b, zero)
+    x1 = _add_mod(b1, v, zero)
+    x3 = _sub_mod(b1, v, zero)
+    for k in range(N_LIMBS):
+        x0_ref[k] = x0[k]
+        x1_ref[k] = x1[k]
+        x2_ref[k] = x2[k]
+        x3_ref[k] = x3[k]
+
+
 def _butterfly_kernel(a_ref, b_ref, w_ref, o0_ref, o1_ref):
     """Radix-2 NTT butterfly: t = b*w (Montgomery), o0 = a+t, o1 = a-t —
     one fused kernel per tile instead of three (mul/add/sub) HBM round
@@ -172,7 +218,7 @@ def _binop_blocks(a, b, op, interpret=False):
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(a, b)
 
 
@@ -228,8 +274,47 @@ def _butterfly_blocks(a, b, w, interpret=False):
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec),
         out_shape=(shape, shape),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(a, b, w)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _butterfly2_blocks(a, b, c, d, w, w2a, w2b, interpret=False):
+    g = a.shape[1] // _SUB
+    spec = pl.BlockSpec((N_LIMBS, _SUB, _LANE), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(a.shape, jnp.uint32)
+    return pl.pallas_call(
+        _butterfly2_kernel,
+        grid=(g,),
+        in_specs=[spec] * 7,
+        out_specs=(spec,) * 4,
+        out_shape=(shape,) * 4,
+        interpret=_interp(interpret),
+    )(a, b, c, d, w, w2a, w2b)
+
+
+def butterfly2(quarters, tws, interpret: bool = False):
+    """Fused two-stage butterfly on four quarters with three twiddle
+    vectors; all operands broadcast to a common batch shape."""
+    ops = list(quarters) + list(tws)
+    bshape = jnp.broadcast_shapes(*[o.shape[1:] for o in ops])
+
+    def _bcast(x):
+        pad = len(bshape) - (x.ndim - 1)
+        x = x.reshape((N_LIMBS,) + (1,) * pad + x.shape[1:])
+        return jnp.broadcast_to(x, (N_LIMBS,) + bshape).reshape(N_LIMBS, -1)
+
+    ops = [_bcast(o) for o in ops]
+    n = ops[0].shape[1]
+    padded = -(-n // _BLOCK) * _BLOCK
+    if padded != n:
+        ops = [jnp.pad(o, ((0, 0), (0, padded - n))) for o in ops]
+    outs = _butterfly2_blocks(
+        *[o.reshape(N_LIMBS, -1, _LANE) for o in ops], interpret=interpret)
+    out_shape = (N_LIMBS,) + bshape
+    return tuple(o.reshape(N_LIMBS, -1)[:, :n].reshape(out_shape)
+                 for o in outs)
 
 
 def butterfly(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,

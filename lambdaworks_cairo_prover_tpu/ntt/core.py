@@ -133,8 +133,23 @@ def _ntt_impl(x, twiddles, log_n: int):
     x = x.reshape(N_LIMBS, -1, n)
     x = jnp.take(x, _bitrev_traced(log_n), axis=-1)
     use_fused = n * max(1, x.shape[1]) // 2 >= 1024 and fd._pallas_enabled()
-    for s in range(log_n):
+    s = 0
+    while s < log_n:
         m = 1 << s
+        if use_fused and s + 1 < log_n:
+            # two stages at once: radix-4 step in one fused kernel
+            from ..field import pallas_mul
+
+            g4 = n // (4 * m)
+            xv = x.reshape(N_LIMBS, x.shape[1], g4, 4, m)
+            quarters = tuple(xv[:, :, :, j, :] for j in range(4))
+            w = twiddles[s][:, None, None, :]
+            w2 = twiddles[s + 1]
+            tws = (w, w2[:, None, None, :m], w2[:, None, None, m:])
+            outs = pallas_mul.butterfly2(quarters, tws)
+            x = jnp.stack(outs, axis=3).reshape(N_LIMBS, x.shape[1], n)
+            s += 2
+            continue
         g = n // (2 * m)
         xv = x.reshape(N_LIMBS, x.shape[1], g, 2, m)
         a = xv[:, :, :, 0, :]
@@ -148,6 +163,7 @@ def _ntt_impl(x, twiddles, log_n: int):
             t = fd.mul(b, w)
             hi, lo = fd.add(a, t), fd.sub(a, t)
         x = jnp.stack([hi, lo], axis=3).reshape(N_LIMBS, x.shape[1], n)
+        s += 1
     return x.reshape((N_LIMBS,) + lead + (n,))
 
 
