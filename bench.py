@@ -1,19 +1,52 @@
 """Benchmark driver: proves a Cairo fibonacci trace end-to-end on the
-available accelerator and prints one JSON line.
+available accelerator and prints ONE JSON line.
 
-Metric: prover wall time for the fib(N) Cairo0 workload (the reference's
-criterion_prover benchmark shape, benches/criterion_prover.rs).  The
-reference publishes no numbers (BASELINE.md), so vs_baseline is reported
-against the recorded target of 1.0 until a measured Rust baseline exists.
+Default config matches the reference's criterion_prover benchmark exactly
+(benches/criterion_prover.rs + options.rs:55-60): `Provable80Bits` =
+blowup 4, 80 FRI queries, grinding factor 20, coset offset 3.  The
+reference publishes no numbers (BASELINE.md), so vs_baseline stays 1.0
+until a measured Rust baseline exists.
 
-Env knobs: BENCH_FIB (default 500), BENCH_QUERIES, BENCH_BLOWUP,
-BENCH_GRINDING.
+The single JSON line carries the three BASELINE.json metrics:
+  value            prover wall time (s) for the fib(N) Cairo0 workload
+  verifier_s       verifier wall time (s) on the produced proof
+  ntt_points_per_sec_chip   forward-NTT throughput microbenchmark
+  proof_size_bytes serialized proof size
+
+Env knobs: BENCH_FIB (default 500), BENCH_QUERIES (80), BENCH_BLOWUP (4),
+BENCH_GRINDING (20), BENCH_NTT_LOG2 (20), BENCH_SKIP_NTT=1.
 """
 
 import json
 import os
 import sys
 import time
+
+
+def _ntt_points_per_sec(log2n: int) -> float:
+    """Forward-NTT throughput on a (16, n) limb tensor (BASELINE.md metric:
+    NTT points/sec/chip)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lambdaworks_cairo_prover_tpu.field import device as fd
+    from lambdaworks_cairo_prover_tpu.field.params import P
+    from lambdaworks_cairo_prover_tpu.ntt import core as nttc
+
+    n = 1 << log2n
+    x = jnp.asarray(fd.from_ints([pow(3, i, P) for i in range(256)]))
+    x = jnp.tile(x, (1, n // 256))
+    np.asarray(nttc.ntt(x)[:, :1])  # compile + warm
+    # NOTE: block_until_ready does NOT wait for completion on the tunneled
+    # axon platform; a tiny readback per rep forces real completion (device
+    # programs execute in launch order).
+    reps = 5
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(nttc.ntt(x)[:, :1])
+        times.append(time.perf_counter() - t0)
+    return n / min(times)
 
 
 def main():
@@ -26,12 +59,14 @@ def main():
     from lambdaworks_cairo_prover_tpu.cairo.programs import fibonacci_program
     from lambdaworks_cairo_prover_tpu.cairo.runner import generate_prover_args
     from lambdaworks_cairo_prover_tpu.proof.options import ProofOptions
+    from lambdaworks_cairo_prover_tpu.proof.serde import serialize_proof
 
+    # reference bench config: Provable80Bits (options.rs:55-60)
     options = ProofOptions(
         blowup_factor=int(os.environ.get("BENCH_BLOWUP", "4")),
-        fri_number_of_queries=int(os.environ.get("BENCH_QUERIES", "3")),
+        fri_number_of_queries=int(os.environ.get("BENCH_QUERIES", "80")),
         coset_offset=3,
-        grinding_factor=int(os.environ.get("BENCH_GRINDING", "1")),
+        grinding_factor=int(os.environ.get("BENCH_GRINDING", "20")),
     )
 
     main_trace, pub_inputs = generate_prover_args(fibonacci_program(fib_n))
@@ -51,12 +86,26 @@ def main():
         timings = getattr(proof2, "_timings", {})
         print({k: round(v, 3) for k, v in timings.items()}, file=sys.stderr)
 
-    print(json.dumps({
-        "metric": f"prover_cairo_fib{fib_n}_wall_time",
+    t0 = time.perf_counter()
+    verify_cairo_proof(proof2, pub_inputs, options)
+    verifier_elapsed = time.perf_counter() - t0
+
+    result = {
+        "metric": f"prover_cairo_fib{fib_n}_wall_time_80q_g20",
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": 1.0,
-    }))
+        "verifier_s": round(verifier_elapsed, 4),
+        "proof_size_bytes": len(serialize_proof(proof2)),
+        "queries": options.fri_number_of_queries,
+        "grinding_factor": options.grinding_factor,
+    }
+    if os.environ.get("BENCH_SKIP_NTT") != "1":
+        log2n = int(os.environ.get("BENCH_NTT_LOG2", "20"))
+        result["ntt_points_per_sec_chip"] = round(_ntt_points_per_sec(log2n))
+        result["ntt_log2_size"] = log2n
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

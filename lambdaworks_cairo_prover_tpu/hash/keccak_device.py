@@ -214,18 +214,21 @@ def digest_to_bytes(digest_row: np.ndarray) -> bytes:
 
 
 @functools.partial(jax.jit, static_argnames=("size", "grinding_factor"))
-def grinding_batch(challenge_words: jnp.ndarray, start: jnp.ndarray, size: int,
-                   grinding_factor: int):
-    """Search a batch of candidate nonces [start, start+size).
+def grinding_batch(challenge_words: jnp.ndarray, start_lo: jnp.ndarray,
+                   start_hi: jnp.ndarray, size: int, grinding_factor: int):
+    """Search a batch of candidate u64 nonces [start, start+size).
 
-    challenge_words: (8,) uint32 (LE words of the 32-byte challenge).
+    challenge_words: (8,) uint32 (LE words of the 32-byte challenge);
+    start_lo/start_hi: uint32 scalars, the u64 batch start (the reference
+    searches the full u64 space, grinding.rs:40-48).
     Returns (found: bool, index-in-batch of first hit).
     Message = challenge || nonce_le_u64 (40 bytes; reference grinding.rs:21-28);
     condition: trailing_zeros(first 8 digest bytes read as BE u64) >= factor.
     """
     idx = jnp.arange(size, dtype=U32)
-    nonce_lo = start.astype(U32) + idx            # low 32 bits (start < 2^32 assumed per batch math)
-    nonce_hi = jnp.broadcast_to((start >> 0) * 0, (size,)).astype(U32)
+    nonce_lo = start_lo.astype(U32) + idx
+    carry = (nonce_lo < idx).astype(U32)  # wrapped past 2^32
+    nonce_hi = jnp.broadcast_to(start_hi.astype(U32), (size,)) + carry
     # nonce u64 LE bytes: words 8 = lo, 9 = hi
     msg = jnp.broadcast_to(challenge_words[None, :], (size, 8))
     words10 = jnp.concatenate([msg, nonce_lo[:, None], nonce_hi[:, None]], axis=1)

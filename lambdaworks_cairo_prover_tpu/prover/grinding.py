@@ -38,12 +38,20 @@ def generate_nonce_with_grinding(
         np.frombuffer(challenge, dtype="<u4").copy(), dtype=jnp.uint32
     )
     start = 0
-    while True:
+    while start < 1 << 64:
         found, first = kd.grinding_batch(
-            challenge_words, jnp.uint32(start), batch, grinding_factor
+            challenge_words,
+            jnp.uint32(start & 0xFFFFFFFF),
+            jnp.uint32(start >> 32),
+            batch,
+            grinding_factor,
         )
         if bool(found):
             nonce = start + int(first)
-            assert leading_zeros_of_nonce(challenge, nonce) >= grinding_factor
+            if leading_zeros_of_nonce(challenge, nonce) < grinding_factor:
+                raise RuntimeError(
+                    "device grinding result disagrees with host check"
+                )
             return nonce
         start += batch
+    raise RuntimeError("u64 nonce space exhausted without a grinding hit")

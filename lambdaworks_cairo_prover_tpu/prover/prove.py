@@ -47,7 +47,7 @@ def _gather_last(arr, idx):
 
 
 class ProvingError(Exception):
-    pass
+    """Typed prover failure (reference prover.rs:40-43 `ProvingError`)."""
 
 
 _HOST_FRI_THRESHOLD = 4096  # fold FRI layers of this size or less on host
@@ -170,8 +170,19 @@ def prove(
         sharding = NamedSharding(mesh, PartitionSpec(None, None, axis))
         main_trace = TraceTable(jax.device_put(main_trace.data, sharding))
 
+    if main_trace.n_rows == 0 or main_trace.n_rows & (main_trace.n_rows - 1):
+        raise ProvingError(
+            f"trace length must be a power of two, got {main_trace.n_rows}"
+        )
     air = air_class(main_trace.n_rows, pub_inputs, proof_options)
     domain = Domain(air)
+    # Reference options.rs:86-91 caps the max domain at 2^NUM_BITS_MAX_DOMAIN_SIZE
+    # when checking field security; enforce the same bound at prove time.
+    if domain.lde_size > 1 << ProofOptions.NUM_BITS_MAX_DOMAIN_SIZE:
+        raise ProvingError(
+            f"LDE domain size 2^{domain.lde_size.bit_length() - 1} exceeds "
+            f"the maximum 2^{ProofOptions.NUM_BITS_MAX_DOMAIN_SIZE}"
+        )
     kern = get_kernels(air, domain)
     transcript = transcript_factory()
     n = air.trace_length()
@@ -191,6 +202,15 @@ def prove(
 
     rap_challenges = air.build_rap_challenges(transcript)
     aux_trace = air.build_auxiliary_trace(main_trace, rap_challenges)
+    if os.environ.get("LCP_VALIDATE_TRACE"):
+        # Reference prover.rs:573-580 runs the pointwise constraint oracle on
+        # every debug-build prove; here it is env-gated (it is O(n·constraints)
+        # host work) and failures abort with a typed error instead of letting
+        # a buggy AIR/trace surface only as a failed verify.
+        from .debug import validate_trace
+
+        if not validate_trace(air, main_trace, aux_trace, rap_challenges):
+            raise ProvingError("trace does not satisfy the AIR constraints")
     if not aux_trace.is_empty():
         aux_polys, aux_lde, aux_levels = kern.interpolate_commit(aux_trace.data)
         aux_tree = MerkleTree(list(aux_levels))
