@@ -684,10 +684,12 @@ class CairoAIR(AIR):
 
 
 def generate_cairo_proof(trace: TraceTable, pub_inputs: PublicInputs,
-                         proof_options: ProofOptions):
+                         proof_options: ProofOptions, mesh=None,
+                         shard_axis: str = "domain"):
     from ..prover.prove import prove
 
-    return prove(trace, pub_inputs, proof_options, CairoAIR)
+    return prove(trace, pub_inputs, proof_options, CairoAIR, mesh=mesh,
+                 shard_axis=shard_axis)
 
 
 def verify_cairo_proof(proof, pub_inputs: PublicInputs,

@@ -143,15 +143,26 @@ def prove(
     air_class,
     instrument: bool = False,
     mesh=None,
+    shard_axis: str = "domain",
     transcript_factory=DefaultTranscript,
 ) -> StarkProof:
     """Generate a STARK proof.
 
-    With ``mesh`` (a jax.sharding.Mesh with one axis) the trace tensor is
-    sharded over its column axis and the round kernels compile as SPMD
-    programs over the mesh — XLA inserts the collectives (frame shifts
-    become permutes, Merkle trees reduce across shards).  Proof bytes are
-    identical for any mesh shape (asserted by tests/test_sharded_prove.py).
+    With ``mesh`` (a jax.sharding.Mesh with one axis) the prover runs as an
+    SPMD program over the mesh.  ``shard_axis`` selects the layout:
+
+    * ``"domain"`` (default) — the LDE-domain axis of every round-1..4
+      tensor is block-sharded across devices; NTT/iNTT/LDE run as four-step
+      transforms whose stage transposes are ``all_to_all`` collectives
+      (parallel/four_step.py), constraint evaluation / DEEP / Merkle leaf
+      hashing are shard-local, and frame row shifts lower to collective
+      permutes.  This is the layout that scales trace length past one
+      chip's HBM (SURVEY §5 long-context plan).
+    * ``"columns"`` — the trace-column axis is sharded; per-column NTTs
+      are communication-free but the domain axis stays replicated.
+
+    Proof bytes are identical for any mesh shape and either layout
+    (asserted by tests/test_sharded_prove.py, tests/test_domain_sharded.py).
     """
     import os
 
@@ -163,7 +174,7 @@ def prove(
     timings = {}
     t0 = time.perf_counter()
 
-    if mesh is not None:
+    if mesh is not None and shard_axis == "columns":
         from jax.sharding import NamedSharding, PartitionSpec
 
         axis = mesh.axis_names[0]
@@ -183,7 +194,12 @@ def prove(
             f"LDE domain size 2^{domain.lde_size.bit_length() - 1} exceeds "
             f"the maximum 2^{ProofOptions.NUM_BITS_MAX_DOMAIN_SIZE}"
         )
-    kern = get_kernels(air, domain)
+    if mesh is not None and shard_axis == "domain":
+        from ..parallel.sharded_kernels import get_sharded_kernels
+
+        kern = get_sharded_kernels(air, domain, mesh)
+    else:
+        kern = get_kernels(air, domain)
     transcript = transcript_factory()
     n = air.trace_length()
     N = domain.lde_size
