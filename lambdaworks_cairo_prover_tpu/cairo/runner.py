@@ -56,8 +56,10 @@ def generate_prover_args(program: Program | bytes | str, output_range=None,
 
         # the C++ VM (bit-identical outputs, tests/test_native_vm.py) does
         # the per-step interpretation ~50x faster; it reports the rc range
-        # only, so programs with an output segment use the python VM
-        if native_vm.available() and "output" not in program.builtins:
+        # only, so programs with an output segment use the python VM, as do
+        # hinted programs (hints run in the python hint processor)
+        if (native_vm.available() and "output" not in program.builtins
+                and not program.hints):
             register_states, memory, program_size, builtin_ranges = (
                 native_vm.run_program_native(program))
         else:

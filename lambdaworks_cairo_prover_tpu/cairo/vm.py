@@ -51,6 +51,10 @@ class Program:
     data: list[int]
     main_pc: int
     builtins: list[str] = field(default_factory=list)
+    # pc-offset -> [hints.Hint]; executed before the instruction at that pc
+    hints: dict = field(default_factory=dict)
+    # hints.Reference list indexed by the hints' reference_ids
+    references: list = field(default_factory=list)
 
     @classmethod
     def from_json(cls, content: bytes | str) -> "Program":
@@ -60,7 +64,12 @@ class Program:
         main = idents.get("__main__.main")
         if main is None:
             raise CairoVMError("program has no __main__.main")
-        return cls(data=data, main_pc=main["pc"], builtins=obj.get("builtins", []))
+        from .hints import parse_program_hints
+
+        hints, references = parse_program_hints(obj)
+        return cls(data=data, main_pc=main["pc"],
+                   builtins=obj.get("builtins", []), hints=hints,
+                   references=references)
 
 
 class CairoVM:
@@ -69,9 +78,10 @@ class CairoVM:
         # segmented memory: dict[(segment, offset)] -> int | Relocatable
         self.segments: list[dict[int, object]] = []
         self.trace: list[tuple[Relocatable, Relocatable, Relocatable]] = []
-        # pc-offset (program segment) -> callable(vm, ap, fp); executed
-        # before the instruction at that pc, mirroring cairo-vm hint hooks
-        self.hints: dict[int, object] = {}
+        # pc-offset (program segment) -> callable(vm, ap, fp) OR a list of
+        # hints.Hint; executed before the instruction at that pc, mirroring
+        # cairo-vm hint hooks.  Seeded from the compiled program's hints.
+        self.hints: dict[int, object] = dict(program.hints)
         self.builtin_bases: dict[str, Relocatable] = {}
 
     # -- segment helpers ----------------------------------------------------
@@ -118,14 +128,26 @@ class CairoVM:
 
     def run_until(self, pc, ap, fp, end, max_steps: int = 1 << 24):
         """Step until pc == end (cairo-vm `run_until_pc`), executing any
-        registered hints before each instruction."""
+        registered hints before each instruction.
+
+        Hint entries may be legacy callables ``f(vm, ap, fp)`` or lists of
+        `hints.Hint` parsed from a compiled program's `hints` section
+        (resolved against the program's reference manager)."""
+        from .hints import Hint, execute_hint
+
         steps = 0
         hints = self.hints
+        refs = self.program.references
         while pc != end:
             if steps >= max_steps:
                 raise CairoVMError("maximum steps exceeded")
             if hints and pc.segment == 0 and pc.offset in hints:
-                hints[pc.offset](self, ap, fp)
+                entry = hints[pc.offset]
+                if callable(entry):
+                    entry(self, ap, fp)
+                else:
+                    for h in entry:
+                        execute_hint(self, h, refs, ap, fp)
             pc, ap, fp = self.step(pc, ap, fp)
             steps += 1
         # final registers are recorded by the last step's next-state in trace
