@@ -22,6 +22,23 @@ from ..field import device as fd
 from ..ntt import core as nttc
 
 
+def fetch_np(x):
+    """Host numpy copy of an array, valid under multi-process SPMD.
+
+    `np.asarray` cannot fetch a `jax.Array` spanning non-addressable
+    devices; reshard to fully-replicated first (an all-gather over the
+    mesh) so every process holds the complete value — the prover's host
+    work (transcript, Merkle paths, FRI tail) then stays in lockstep on
+    all processes.  Single-process arrays pass straight through."""
+    import numpy as np
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "dom",
               devices=None) -> Mesh:
     if devices is None:

@@ -32,6 +32,7 @@ from ..transcript import (
 from .domain import Domain
 from .grinding import generate_nonce_with_grinding
 from .kernels import get_kernels
+from ..parallel.sharding import fetch_np
 
 import jax
 
@@ -44,6 +45,11 @@ def _gather_cols(arr, idx):
 @jax.jit
 def _gather_last(arr, idx):
     return jnp.take(arr, idx, axis=2)
+
+
+@jax.jit
+def _gather_last2(arr, idx):
+    return jnp.take(arr, idx, axis=1)
 
 
 class ProvingError(Exception):
@@ -211,7 +217,7 @@ def prove(
     # ======================= Round 1: RAP =================================
     t1 = time.perf_counter()
     trace_polys, lde_evals, main_levels = kern.interpolate_commit(main_trace.data)
-    main_tree = MerkleTree(list(main_levels))
+    main_tree = MerkleTree([fetch_np(l) for l in main_levels])
     transcript.append(main_tree.root)
     lde_trace_merkle_roots = [main_tree.root]
     lde_trace_merkle_trees = [main_tree]
@@ -229,7 +235,7 @@ def prove(
             raise ProvingError("trace does not satisfy the AIR constraints")
     if not aux_trace.is_empty():
         aux_polys, aux_lde, aux_levels = kern.interpolate_commit(aux_trace.data)
-        aux_tree = MerkleTree(list(aux_levels))
+        aux_tree = MerkleTree([fetch_np(l) for l in aux_levels])
         transcript.append(aux_tree.root)
         trace_polys = jnp.concatenate([trace_polys, aux_polys], axis=1)
         lde_evals = jnp.concatenate([lde_evals, aux_lde], axis=1)
@@ -259,7 +265,7 @@ def prove(
     h1_coeffs, h2_coeffs, h1_lde, h2_lde, comp_levels = kern.round2(
         lde_evals, boundary_ab, transition_ab, boundary_values, rap_arrays
     )
-    composition_tree = MerkleTree(list(comp_levels))
+    composition_tree = MerkleTree([fetch_np(l) for l in comp_levels])
     transcript.append(composition_tree.root)
     timings["round2"] = time.perf_counter() - t2
 
@@ -269,9 +275,9 @@ def prove(
     z2 = z * z % P
 
     pw_z2 = nttc.offset_powers(z2, h1_coeffs.shape[-1])
-    h1_z2 = fd.to_ints(kern.eval_at_powers(h1_coeffs, pw_z2).reshape(N_LIMBS, 1),
+    h1_z2 = fd.to_ints(fetch_np(kern.eval_at_powers(h1_coeffs, pw_z2)).reshape(N_LIMBS, 1),
                        mont=False)[0]
-    h2_z2 = fd.to_ints(kern.eval_at_powers(h2_coeffs, pw_z2).reshape(N_LIMBS, 1),
+    h2_z2 = fd.to_ints(fetch_np(kern.eval_at_powers(h2_coeffs, pw_z2)).reshape(N_LIMBS, 1),
                        mont=False)[0]
 
     trace_ood_rows = []
@@ -279,7 +285,7 @@ def prove(
         point = z * pow(g, k, P) % P
         pw = nttc.offset_powers(point, n)
         evals_k = kern.eval_at_powers(trace_polys, pw)  # (16, total_cols)
-        trace_ood_rows.append(fd.to_ints(evals_k, mont=False))
+        trace_ood_rows.append(fd.to_ints(fetch_np(evals_k), mont=False))
 
     transcript.append(fh.to_bytes_be(h1_z2))
     transcript.append(fh.to_bytes_be(h2_z2))
@@ -312,7 +318,7 @@ def prove(
     number_layers = domain.root_order
     fri_layers = []  # (evaluations, tree, domain_size)
     evals0, levels0 = kern.fri_first_layer(deep_coeffs)
-    tree0 = MerkleTree(list(levels0))
+    tree0 = MerkleTree([fetch_np(l) for l in levels0])
     fri_layers.append((evals0, tree0, N))
     transcript.append(tree0.root)
 
@@ -325,7 +331,7 @@ def prove(
         offset_int = offset_int * offset_int % P
         domain_size //= 2
         if host_coeffs is None and domain_size <= _HOST_FRI_THRESHOLD:
-            host_coeffs = fd.to_ints(coeffs)
+            host_coeffs = fd.to_ints(fetch_np(coeffs))
         if host_coeffs is not None:
             host_coeffs = _host_fold(host_coeffs, zeta)
             evals = _host_evaluate_offset_fft(host_coeffs, domain_size,
@@ -337,13 +343,14 @@ def prove(
                 coeffs, jnp.asarray(fd.from_int(zeta)), offset_int,
                 domain_size
             )
-            tree = MerkleTree(list(levels))
+            tree = MerkleTree([fetch_np(l) for l in levels])
             fri_layers.append((evals, tree, domain_size))
         transcript.append(tree.root)
 
     zeta = transcript_to_field(transcript)
     # final fold on host: the remaining polynomial is tiny
-    last_coeffs = host_coeffs if host_coeffs is not None else fd.to_ints(coeffs)
+    last_coeffs = (host_coeffs if host_coeffs is not None
+                   else fd.to_ints(fetch_np(coeffs)))
     folded_host = [
         (last_coeffs[2 * i] + zeta * last_coeffs[2 * i + 1]) % P
         for i in range(len(last_coeffs) // 2)
@@ -371,8 +378,8 @@ def prove(
         if isinstance(evals, list):  # host-tail layer
             both = [evals[i] for i in idxs + idxs_sym]
         else:
-            both = fd.to_ints(jnp.take(evals, jnp.asarray(idxs + idxs_sym),
-                                       axis=1))
+            both = fd.to_ints(fetch_np(_gather_last2(evals,
+                                                     jnp.asarray(idxs + idxs_sym))))
         vals, vals_sym = both[:nq], both[nq:]
         paths_both = tree.get_proofs(idxs + idxs_sym)
         paths, paths_sym = paths_both[:nq], paths_both[nq:]
@@ -384,12 +391,12 @@ def prove(
 
     # DEEP openings (reference prover.rs:484-529)
     open_idxs = [iota % N for iota in iotas]
-    h1_open = fd.to_ints(_gather_cols(h1_lde, jnp.asarray(open_idxs)))
-    h2_open = fd.to_ints(_gather_cols(h2_lde, jnp.asarray(open_idxs)))
+    h1_open = fd.to_ints(fetch_np(_gather_cols(h1_lde, jnp.asarray(open_idxs))))
+    h2_open = fd.to_ints(fetch_np(_gather_cols(h2_lde, jnp.asarray(open_idxs))))
     comp_paths = composition_tree.get_proofs(open_idxs)
     trace_paths_per_tree = [t.get_proofs(open_idxs) for t in lde_trace_merkle_trees]
     trace_rows_open = _gather_last(lde_evals, jnp.asarray(open_idxs))
-    trace_rows_ints = fd.to_ints(trace_rows_open.reshape(N_LIMBS, -1))
+    trace_rows_ints = fd.to_ints(fetch_np(trace_rows_open).reshape(N_LIMBS, -1))
     deep_poly_openings = []
     for q, idx in enumerate(open_idxs):
         row = [trace_rows_ints[j * len(open_idxs) + q] for j in range(total_cols)]

@@ -3,7 +3,10 @@ import os
 # Tests run on CPU (8 virtual devices for sharding tests).  NOTE: this
 # environment presets JAX_PLATFORMS=axon (a tunneled TPU); env vars alone do
 # not override it, so we also set the default device at import time.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# LCP_TPU_TESTS=1 keeps the real TPU visible (for tests/test_tpu_keccak.py
+# and other on-hardware regression tests).
+if not os.environ.get("LCP_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
