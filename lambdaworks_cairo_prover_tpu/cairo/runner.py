@@ -23,6 +23,11 @@ class CairoVersion(Enum):
 
 
 class CairoLayout(Enum):
+    """Cairo builtin layouts (reference src/cairo/cairo_layout.rs, with the
+    builtin sets cairo-vm associates to each layout name).  A program's
+    declared builtins must be a subset of the layout's, in layout order —
+    the same validation cairo-vm performs when instantiating a runner."""
+
     Plain = "plain"
     Small = "small"
     Dex = "dex"
@@ -34,14 +39,66 @@ class CairoLayout(Enum):
     AllSolidity = "all_solidity"
     Dynamic = "dynamic"
 
+    @property
+    def builtins(self) -> list[str]:
+        return _LAYOUT_BUILTINS[self]
+
+
+# cairo-lang's instance definitions (builtin order is part of the layout)
+_LAYOUT_BUILTINS = {
+    CairoLayout.Plain: [],
+    CairoLayout.Small: ["output", "pedersen", "range_check", "ecdsa"],
+    CairoLayout.Dex: ["output", "pedersen", "range_check", "ecdsa"],
+    CairoLayout.Recursive: ["output", "pedersen", "range_check", "bitwise"],
+    CairoLayout.Starknet: ["output", "pedersen", "range_check", "ecdsa",
+                           "bitwise", "ec_op", "poseidon"],
+    CairoLayout.StarknetWithKeccak: ["output", "pedersen", "range_check",
+                                     "ecdsa", "bitwise", "ec_op", "keccak",
+                                     "poseidon"],
+    CairoLayout.RecursiveLargeOutput: ["output", "pedersen", "range_check",
+                                       "bitwise"],
+    CairoLayout.AllCairo: ["output", "pedersen", "range_check", "ecdsa",
+                           "bitwise", "ec_op", "keccak", "poseidon",
+                           "range_check96", "add_mod", "mul_mod"],
+    CairoLayout.AllSolidity: ["output", "pedersen", "range_check", "ecdsa",
+                              "bitwise", "ec_op"],
+    CairoLayout.Dynamic: ["output", "pedersen", "range_check", "ecdsa",
+                          "bitwise", "ec_op", "keccak", "poseidon"],
+}
+
+
+def validate_layout(program: Program, layout: CairoLayout) -> None:
+    """Check the program's builtins against the layout (order + subset),
+    as cairo-vm does when building a runner for that layout string."""
+    from .vm import CairoVMError
+
+    allowed = layout.builtins
+    try:
+        positions = [allowed.index(b) for b in program.builtins]
+    except ValueError:
+        bad = [b for b in program.builtins if b not in allowed]
+        raise CairoVMError(
+            f"builtins {bad} not present in layout '{layout.value}'"
+        )
+    if positions != sorted(positions):
+        raise CairoVMError(
+            f"program builtins {program.builtins} out of layout order for "
+            f"'{layout.value}' (expected order {allowed})"
+        )
+
 
 def generate_prover_args(program: Program | bytes | str, output_range=None,
-                         cairo_version: CairoVersion = CairoVersion.V0):
+                         cairo_version: CairoVersion = CairoVersion.V0,
+                         layout: CairoLayout | None = None):
     """Returns (main_trace: TraceTable, pub_inputs: PublicInputs).
 
     ``cairo_version=CairoVersion.V1`` treats `program` as a compiled CASM
     contract class and runs its first EXTERNAL entrypoint (reference
-    run.rs:242-263 with the V1 arm of run_program)."""
+    run.rs:242-263 with the V1 arm of run_program).
+
+    ``layout`` defaults per version as the reference does (run.rs:247-250:
+    V0 -> Small, V1 -> Plain) and is validated against the program's
+    declared builtins."""
     if cairo_version is CairoVersion.V1:
         from .casm import CasmContractClass, run_casm_entrypoint
 
@@ -52,6 +109,9 @@ def generate_prover_args(program: Program | bytes | str, output_range=None,
     else:
         if not isinstance(program, Program):
             program = Program.from_json(program)
+        if layout is None:
+            layout = CairoLayout.Small  # reference run.rs:247-250
+        validate_layout(program, layout)
         from . import native as native_vm
 
         # the C++ VM (bit-identical outputs, tests/test_native_vm.py) does

@@ -37,3 +37,30 @@ def test_prove_verify_rc_program():
     options = ProofOptions.default_test_options()
     proof = generate_cairo_proof(main_trace, pub_inputs, options)
     assert verify_cairo_proof(proof, pub_inputs, options)
+
+
+def test_layout_validation():
+    """CairoLayout carries real builtin-set semantics (reference
+    cairo_layout.rs + cairo-vm layout validation; run.rs:247-250 default)."""
+    import pytest
+
+    from lambdaworks_cairo_prover_tpu.cairo.runner import (
+        CairoLayout,
+        validate_layout,
+    )
+    from lambdaworks_cairo_prover_tpu.cairo.vm import CairoVMError
+
+    prog = rc_program((3,))
+    # default V0 layout (Small) admits range_check
+    validate_layout(prog, CairoLayout.Small)
+    # Plain has no builtins at all
+    with pytest.raises(CairoVMError):
+        validate_layout(prog, CairoLayout.Plain)
+    # out-of-layout-order builtins are rejected
+    prog2 = rc_program((3,))
+    prog2.builtins = ["range_check", "output"]
+    with pytest.raises(CairoVMError):
+        validate_layout(prog2, CairoLayout.Small)
+    # prove path still works under the default layout
+    main_trace, pub = generate_prover_args(rc_program((3, 5)))
+    assert main_trace.n_rows > 0
