@@ -79,16 +79,45 @@ class MerkleTree:
         sib_idxs = []
         idxs = list(indices)
         for _ in self.levels[:-1]:
-            sib_idxs.append(jnp.asarray([i ^ 1 for i in idxs]))
+            sib_idxs.append([i ^ 1 for i in idxs])
             idxs = [i >> 1 for i in idxs]
-        sibs = np.asarray(
-            _gather_levels(tuple(self.levels[:-1]), tuple(sib_idxs))
-        )
+        if isinstance(self.levels[0], np.ndarray):
+            # host-resident levels (post fetch_tree): pure-numpy gather — a
+            # jitted gather here would round-trip megabytes through the
+            # accelerator per call
+            sibs = np.concatenate(
+                [lv[ix] for lv, ix in zip(self.levels[:-1], sib_idxs)], axis=0
+            )
+        else:
+            sibs = np.asarray(
+                _gather_levels(
+                    tuple(self.levels[:-1]),
+                    tuple(jnp.asarray(ix) for ix in sib_idxs),
+                )
+            )
         paths = [[] for _ in range(q)]
         for li in range(len(self.levels) - 1):
             for qi in range(q):
                 paths[qi].append(kd.digest_to_bytes(sibs[li * q + qi]))
         return paths
+
+
+def fetch_tree(levels) -> MerkleTree:
+    """Build a host-resident MerkleTree from device level arrays with ONE
+    transfer: concatenate all levels on device (a (2n-1, 8) digest tensor)
+    and split back on host.  Per-level fetches cost a synchronous tunnel
+    round trip each (~tens of ms on a remote TPU), which dominated
+    commitment time at log2(n)+1 levels per tree."""
+    from ..parallel.sharding import fetch_np
+
+    levels = list(levels)
+    sizes = [int(l.shape[0]) for l in levels]
+    flat = fetch_np(jnp.concatenate(levels, axis=0))
+    out, off = [], 0
+    for k in sizes:
+        out.append(flat[off:off + k])
+        off += k
+    return MerkleTree(out)
 
 
 def verify_proof(root: bytes, index: int, leaf_hash: bytes, path: list[bytes]) -> bool:

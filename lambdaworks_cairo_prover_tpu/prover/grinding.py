@@ -25,27 +25,42 @@ def leading_zeros_of_nonce(challenge: bytes, nonce: int) -> int:
 
 
 def generate_nonce_with_grinding(
-    challenge: bytes, grinding_factor: int, batch: int = 1 << 16
+    challenge: bytes, grinding_factor: int, batch: int = 1 << 16,
+    pipeline: int = 8,
 ) -> int:
-    """Smallest u64 nonce whose grinding hash meets the factor."""
+    """Smallest u64 nonce whose grinding hash meets the factor.
+
+    Keeps `pipeline` batches of the device search in flight before reading
+    the first result: JAX dispatch is asynchronous, so the expensive part
+    (the `bool(found)` sync, a full tunnel round trip on remote TPUs) is
+    paid once per `pipeline` batches instead of once per batch.  Results
+    are drained in launch order, preserving the reference's linear-search
+    semantics (grinding.rs:40-48: the returned nonce is the smallest)."""
     if grinding_factor <= 12:
         # host path: expected few iterations
         nonce = 0
         while leading_zeros_of_nonce(challenge, nonce) < grinding_factor:
             nonce += 1
         return nonce
+    from collections import deque
+
     challenge_words = jnp.asarray(
         np.frombuffer(challenge, dtype="<u4").copy(), dtype=jnp.uint32
     )
-    start = 0
-    while start < 1 << 64:
-        found, first = kd.grinding_batch(
-            challenge_words,
-            jnp.uint32(start & 0xFFFFFFFF),
-            jnp.uint32(start >> 32),
-            batch,
-            grinding_factor,
-        )
+    inflight: deque = deque()
+    next_start = 0
+    while inflight or next_start < 1 << 64:
+        while len(inflight) < pipeline and next_start < 1 << 64:
+            res = kd.grinding_batch(
+                challenge_words,
+                jnp.uint32(next_start & 0xFFFFFFFF),
+                jnp.uint32(next_start >> 32),
+                batch,
+                grinding_factor,
+            )
+            inflight.append((next_start, res))
+            next_start += batch
+        start, (found, first) = inflight.popleft()
         if bool(found):
             nonce = start + int(first)
             if leading_zeros_of_nonce(challenge, nonce) < grinding_factor:
@@ -53,5 +68,4 @@ def generate_nonce_with_grinding(
                     "device grinding result disagrees with host check"
                 )
             return nonce
-        start += batch
     raise RuntimeError("u64 nonce space exhausted without a grinding hit")

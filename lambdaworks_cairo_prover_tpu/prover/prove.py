@@ -19,7 +19,7 @@ from ..field import device as fd
 from ..field import host as fh
 from ..field.params import N_LIMBS, P
 from ..hash.keccak_host import keccak256
-from ..hash.merkle import MerkleTree, hash_leaf_felts_host
+from ..hash.merkle import MerkleTree, fetch_tree, hash_leaf_felts_host
 from ..ntt import core as nttc
 from ..proof.options import ProofOptions
 from ..proof.stark import DeepPolynomialOpenings, FriDecommitment, StarkProof
@@ -217,7 +217,7 @@ def prove(
     # ======================= Round 1: RAP =================================
     t1 = time.perf_counter()
     trace_polys, lde_evals, main_levels = kern.interpolate_commit(main_trace.data)
-    main_tree = MerkleTree([fetch_np(l) for l in main_levels])
+    main_tree = fetch_tree(main_levels)
     transcript.append(main_tree.root)
     lde_trace_merkle_roots = [main_tree.root]
     lde_trace_merkle_trees = [main_tree]
@@ -235,7 +235,7 @@ def prove(
             raise ProvingError("trace does not satisfy the AIR constraints")
     if not aux_trace.is_empty():
         aux_polys, aux_lde, aux_levels = kern.interpolate_commit(aux_trace.data)
-        aux_tree = MerkleTree([fetch_np(l) for l in aux_levels])
+        aux_tree = fetch_tree(aux_levels)
         transcript.append(aux_tree.root)
         trace_polys = jnp.concatenate([trace_polys, aux_polys], axis=1)
         lde_evals = jnp.concatenate([lde_evals, aux_lde], axis=1)
@@ -265,7 +265,7 @@ def prove(
     h1_coeffs, h2_coeffs, h1_lde, h2_lde, comp_levels = kern.round2(
         lde_evals, boundary_ab, transition_ab, boundary_values, rap_arrays
     )
-    composition_tree = MerkleTree([fetch_np(l) for l in comp_levels])
+    composition_tree = fetch_tree(comp_levels)
     transcript.append(composition_tree.root)
     timings["round2"] = time.perf_counter() - t2
 
@@ -274,18 +274,30 @@ def prove(
     z = _sample_z_ood(domain, transcript)
     z2 = z * z % P
 
+    # All round-3 evaluations dispatch asynchronously; sync the host only
+    # twice (one stacked readback for H-parts, one for the trace frame) —
+    # per-value readbacks cost a tunnel round trip each.
     pw_z2 = nttc.offset_powers(z2, h1_coeffs.shape[-1])
-    h1_z2 = fd.to_ints(fetch_np(kern.eval_at_powers(h1_coeffs, pw_z2)).reshape(N_LIMBS, 1),
-                       mont=False)[0]
-    h2_z2 = fd.to_ints(fetch_np(kern.eval_at_powers(h2_coeffs, pw_z2)).reshape(N_LIMBS, 1),
-                       mont=False)[0]
+    h1_dev = kern.eval_at_powers(h1_coeffs, pw_z2)
+    h2_dev = kern.eval_at_powers(h2_coeffs, pw_z2)
+    h_both = fd.to_ints(
+        fetch_np(jnp.stack([h1_dev, h2_dev], axis=-1)).reshape(N_LIMBS, 2),
+        mont=False,
+    )
+    h1_z2, h2_z2 = h_both[0], h_both[1]
 
-    trace_ood_rows = []
+    ood_dev = []
     for k in offsets:
         point = z * pow(g, k, P) % P
         pw = nttc.offset_powers(point, n)
-        evals_k = kern.eval_at_powers(trace_polys, pw)  # (16, total_cols)
-        trace_ood_rows.append(fd.to_ints(fetch_np(evals_k), mont=False))
+        ood_dev.append(kern.eval_at_powers(trace_polys, pw))  # (16, total_cols)
+    ood_flat = fd.to_ints(
+        fetch_np(jnp.stack(ood_dev, axis=1)).reshape(N_LIMBS, -1), mont=False
+    )
+    trace_ood_rows = [
+        ood_flat[i * total_cols:(i + 1) * total_cols]
+        for i in range(len(offsets))
+    ]
 
     transcript.append(fh.to_bytes_be(h1_z2))
     transcript.append(fh.to_bytes_be(h2_z2))
@@ -313,12 +325,14 @@ def prove(
     deep_coeffs = kern.deep_poly(
         lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr, gammas_hh, ood_tuple
     )
+    timings["round4_deep"] = time.perf_counter() - t4
 
     # FRI commit phase (reference fri/mod.rs:20-72)
+    t4b = time.perf_counter()
     number_layers = domain.root_order
     fri_layers = []  # (evaluations, tree, domain_size)
     evals0, levels0 = kern.fri_first_layer(deep_coeffs)
-    tree0 = MerkleTree([fetch_np(l) for l in levels0])
+    tree0 = fetch_tree(levels0)
     fri_layers.append((evals0, tree0, N))
     transcript.append(tree0.root)
 
@@ -343,7 +357,7 @@ def prove(
                 coeffs, jnp.asarray(fd.from_int(zeta)), offset_int,
                 domain_size
             )
-            tree = MerkleTree([fetch_np(l) for l in levels])
+            tree = fetch_tree(levels)
             fri_layers.append((evals, tree, domain_size))
         transcript.append(tree.root)
 
@@ -358,14 +372,19 @@ def prove(
     fri_last_value = folded_host[0] if folded_host else 0
     transcript.append(fh.to_bytes_be(fri_last_value))
 
+    timings["round4_fri_commit"] = time.perf_counter() - t4b
+
     # grinding (reference prover.rs:380-385)
+    t4c = time.perf_counter()
     transcript_challenge = transcript.challenge()
     nonce = generate_nonce_with_grinding(
         transcript_challenge, proof_options.grinding_factor
     )
     transcript.append(nonce.to_bytes(8, "big"))
+    timings["round4_grinding"] = time.perf_counter() - t4c
 
     # FRI query phase (reference fri/mod.rs:74-127)
+    t4d = time.perf_counter()
     iotas = [
         transcript_to_usize(transcript) % N
         for _ in range(proof_options.fri_number_of_queries)
@@ -391,8 +410,11 @@ def prove(
 
     # DEEP openings (reference prover.rs:484-529)
     open_idxs = [iota % N for iota in iotas]
-    h1_open = fd.to_ints(fetch_np(_gather_cols(h1_lde, jnp.asarray(open_idxs))))
-    h2_open = fd.to_ints(fetch_np(_gather_cols(h2_lde, jnp.asarray(open_idxs))))
+    h12_dev = _gather_last(jnp.stack([h1_lde, h2_lde], axis=1),
+                           jnp.asarray(open_idxs))
+    h12_open = fd.to_ints(fetch_np(h12_dev).reshape(N_LIMBS, -1))
+    nq_open = len(open_idxs)
+    h1_open, h2_open = h12_open[:nq_open], h12_open[nq_open:]
     comp_paths = composition_tree.get_proofs(open_idxs)
     trace_paths_per_tree = [t.get_proofs(open_idxs) for t in lde_trace_merkle_trees]
     trace_rows_open = _gather_last(lde_evals, jnp.asarray(open_idxs))
@@ -409,6 +431,7 @@ def prove(
                 lde_trace_evaluations=row,
             )
         )
+    timings["round4_queries"] = time.perf_counter() - t4d
     timings["round4"] = time.perf_counter() - t4
 
     if instrument:
