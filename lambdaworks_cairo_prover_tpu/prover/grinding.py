@@ -25,7 +25,7 @@ def leading_zeros_of_nonce(challenge: bytes, nonce: int) -> int:
 
 
 def generate_nonce_with_grinding(
-    challenge: bytes, grinding_factor: int, batch: int = 1 << 16,
+    challenge: bytes, grinding_factor: int, batch: int | None = None,
     pipeline: int = 8,
 ) -> int:
     """Smallest u64 nonce whose grinding hash meets the factor.
@@ -42,6 +42,12 @@ def generate_nonce_with_grinding(
         while leading_zeros_of_nonce(challenge, nonce) < grinding_factor:
             nonce += 1
         return nonce
+    if batch is None:
+        # Device keccak throughput grows ~7x from 2^16- to 2^20-lane batches
+        # (small batches are dispatch-bound); the expected first hit is at
+        # ~0.69 * 2^factor, so size batches to finish in a few waves without
+        # overshooting much past the hit.
+        batch = 1 << min(20, max(16, grinding_factor - 1))
     from collections import deque
 
     challenge_words = jnp.asarray(
