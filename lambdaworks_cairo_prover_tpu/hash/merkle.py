@@ -66,7 +66,9 @@ class MerkleTree:
 
     @property
     def root(self) -> bytes:
-        return kd.digest_to_bytes(np.asarray(self.levels[-1])[0])
+        from ..parallel.sharding import fetch_np
+
+        return kd.digest_to_bytes(fetch_np(self.levels[-1])[0])
 
     def get_proof(self, index: int) -> list[bytes]:
         return self.get_proofs([index])[0]
@@ -82,14 +84,17 @@ class MerkleTree:
             sib_idxs.append([i ^ 1 for i in idxs])
             idxs = [i >> 1 for i in idxs]
         if isinstance(self.levels[0], np.ndarray):
-            # host-resident levels (post fetch_tree): pure-numpy gather — a
-            # jitted gather here would round-trip megabytes through the
-            # accelerator per call
+            # host-resident levels: pure-numpy gather — a jitted gather here
+            # would round-trip megabytes through the accelerator per call
             sibs = np.concatenate(
                 [lv[ix] for lv, ix in zip(self.levels[:-1], sib_idxs)], axis=0
             )
         else:
-            sibs = np.asarray(
+            # device-resident levels: one fused gather dispatch + one small
+            # transfer (q digests per level), never the full tree
+            from ..parallel.sharding import fetch_np
+
+            sibs = fetch_np(
                 _gather_levels(
                     tuple(self.levels[:-1]),
                     tuple(jnp.asarray(ix) for ix in sib_idxs),
@@ -103,21 +108,15 @@ class MerkleTree:
 
 
 def fetch_tree(levels) -> MerkleTree:
-    """Build a host-resident MerkleTree from device level arrays with ONE
-    transfer: concatenate all levels on device (a (2n-1, 8) digest tensor)
-    and split back on host.  Per-level fetches cost a synchronous tunnel
-    round trip each (~tens of ms on a remote TPU), which dominated
-    commitment time at log2(n)+1 levels per tree."""
-    from ..parallel.sharding import fetch_np
+    """A MerkleTree over device-resident level arrays.
 
-    levels = list(levels)
-    sizes = [int(l.shape[0]) for l in levels]
-    flat = fetch_np(jnp.concatenate(levels, axis=0))
-    out, off = [], 0
-    for k in sizes:
-        out.append(flat[off:off + k])
-        off += k
-    return MerkleTree(out)
+    Nothing is transferred at build time; `root` fetches 32 bytes and
+    `get_proofs` gathers only the queried sibling digests on device (one
+    dispatch + one small transfer).  Naive per-level full-tree fetches cost
+    a synchronous tunnel round trip per level and ~2n digests of bandwidth
+    per tree — ~130 MB per 2^19-LDE proof — and dominated commit time on
+    remote TPUs."""
+    return MerkleTree(list(levels))
 
 
 def verify_proof(root: bytes, index: int, leaf_hash: bytes, path: list[bytes]) -> bool:
