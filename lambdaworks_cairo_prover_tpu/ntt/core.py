@@ -111,6 +111,103 @@ def offset_powers(offset: int, n: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Four-step (Bailey) decomposition tables for large single-chip transforms
+# ---------------------------------------------------------------------------
+
+# Above this size the flat radix-2/4 schedule makes XLA materialise badly
+# tile-padded temps (the m=1/m=2 butterfly views have trailing dims of 1-4,
+# which the (8,128) tiling pads 8x; at n=2^21 that is 2x8GB -> HBM OOM).
+# The four-step split n = R*C keeps every transform axis at ~sqrt(n) where
+# tiling is dense, at the cost of two well-tiled transposes and one
+# elementwise twiddle multiply.
+FOUR_STEP_MIN_LOG = 17
+
+_four_cache: dict = {}
+
+
+def four_factors(log_n: int) -> tuple[int, int]:
+    """log2 factors (logR, logC) of the four-step split (same plan as the
+    distributed ShardedNTT: C = 2^(log/2), R = n/C)."""
+    logc = log_n // 2
+    return log_n - logc, logc
+
+
+def build_inter_table(a_bits: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(16, C, R) table T[c, t] = w^(c*t) from per-bit power rows.
+
+    a_bits[b] = [w^(c * 2^b) for c in range(C)] as (16, C) limbs; the
+    product over set bits of t reconstructs w^(c*t) with log2(R) batched
+    multiplies (no host-side N-element loop)."""
+    n_bits = a_bits.shape[0]
+    c = a_bits.shape[2]
+    t_idx = jax.lax.iota(jnp.uint32, r)
+    one = fd.ones((1, 1))  # (16, 1, 1) broadcastable Montgomery 1
+    t = jnp.broadcast_to(one, (N_LIMBS, c, r))
+    for b in range(n_bits):
+        sel = ((t_idx >> b) & 1).astype(jnp.bool_)
+        fac = jnp.where(sel[None, None, :], a_bits[b][:, :, None], one)
+        t = fd.mul(t, fac)
+    return t
+
+
+def _four_table(log_n: int, inverse: bool) -> jnp.ndarray:
+    """Inter-factor twiddles T[c, t] = w_N^(c*t), injectable/cached."""
+    key = ("four", log_n, inverse)
+    inj = _injected(key)
+    if inj is not None:
+        return inj
+    if key not in _four_cache:
+        logr, logc = four_factors(log_n)
+        r, c = 1 << logr, 1 << logc
+        w = get_primitive_root_of_unity(log_n)
+        if inverse:
+            w = pow(w, P - 2, P)
+        a_bits = jnp.stack(
+            [jnp.asarray(fd.powers(pow(w, 1 << b, P), c))
+             for b in range(logr)]
+        )
+        tbl = jax.jit(build_inter_table, static_argnames=("r",))(a_bits, r=r)
+        if _is_tracer(tbl):
+            return tbl
+        _four_cache[key] = tbl
+    return _four_cache[key]
+
+
+@functools.partial(jax.jit, static_argnames=("log_n",))
+def _ntt_four_impl(x, twr, twc, tbl, log_n: int):
+    """Four-step DFT along the last axis (natural order in and out):
+
+        X[s*R + t] = NTT_C over c [ w_N^(c*t) * NTT_R over r [ x[r*C + c] ] ]
+
+    Identical math to parallel/four_step.py::ShardedNTT.transform with the
+    all-to-all transposes replaced by local swapaxes."""
+    logr, logc = four_factors(log_n)
+    r, c = 1 << logr, 1 << logc
+    lead = x.shape[1:-1]
+    xv = x.reshape(N_LIMBS, -1, r, c)
+    xv = jnp.swapaxes(xv, 2, 3)          # (16, B, c, r)
+    xv = _ntt_impl(xv, twr, logr)        # G[c, t]
+    xv = fd.mul(xv, tbl[:, None, :, :])  # * w_N^(c*t)
+    xv = jnp.swapaxes(xv, 2, 3)          # (16, B, t, c)
+    xv = _ntt_impl(xv, twc, logc)        # H[t, s]
+    xv = jnp.swapaxes(xv, 2, 3)          # (16, B, s, t)
+    return xv.reshape((N_LIMBS,) + lead + (1 << log_n,))
+
+
+def _ntt_dispatch(x, log_n: int, inverse: bool):
+    if log_n >= FOUR_STEP_MIN_LOG:
+        logr, logc = four_factors(log_n)
+        return _ntt_four_impl(
+            x,
+            _stage_twiddles(logr, inverse),
+            _stage_twiddles(logc, inverse),
+            _four_table(log_n, inverse),
+            log_n,
+        )
+    return _ntt_impl(x, _stage_twiddles(log_n, inverse), log_n)
+
+
+# ---------------------------------------------------------------------------
 # Core transform
 # ---------------------------------------------------------------------------
 
@@ -125,13 +222,35 @@ def _bitrev_traced(log_n: int) -> jnp.ndarray:
     return rev
 
 
+def _bitrev_permute(x: jnp.ndarray, log_n: int) -> jnp.ndarray:
+    """y[j] = x[rev(j)] along the last axis.
+
+    Large axes use a two-level decomposition: with j = u*2^h + v,
+    rev(j) = rev_h(v)*2^l + rev_l(u), so the permutation factors into two
+    short per-axis gathers plus one transpose of the trailing (2^h, 2^l)
+    view.  A flat gather of 2^20+ elements makes XLA materialise
+    tile-padded index/select temps (8x expansion at n=2^21 -> HBM OOM);
+    the factored form stays within normal (8,128) tiling.
+    """
+    if log_n < 12:
+        return jnp.take(x, _bitrev_traced(log_n), axis=-1)
+    h = log_n // 2
+    l = log_n - h
+    lead = x.shape[:-1]
+    xv = x.reshape(lead + (1 << h, 1 << l))
+    xv = jnp.take(xv, _bitrev_traced(h), axis=-2)
+    xv = jnp.take(xv, _bitrev_traced(l), axis=-1)
+    xv = jnp.swapaxes(xv, -1, -2)
+    return xv.reshape(lead + (1 << log_n,))
+
+
 @functools.partial(jax.jit, static_argnames=("log_n",))
 def _ntt_impl(x, twiddles, log_n: int):
     """Transform along the LAST axis; leading axes (limbs first) are batch."""
     n = 1 << log_n
     lead = x.shape[1:-1]
     x = x.reshape(N_LIMBS, -1, n)
-    x = jnp.take(x, _bitrev_traced(log_n), axis=-1)
+    x = _bitrev_permute(x, log_n)
     use_fused = n * max(1, x.shape[1]) // 2 >= 1024 and fd._pallas_enabled()
     s = 0
     while s < log_n:
@@ -177,7 +296,7 @@ def ntt(x: jnp.ndarray) -> jnp.ndarray:
     assert 1 << log_n == n, "NTT size must be a power of two"
     if n == 1:
         return x
-    return _ntt_impl(x, _stage_twiddles(log_n, False), log_n)
+    return _ntt_dispatch(x, log_n, inverse=False)
 
 
 def intt(x: jnp.ndarray) -> jnp.ndarray:
@@ -187,7 +306,7 @@ def intt(x: jnp.ndarray) -> jnp.ndarray:
     assert 1 << log_n == n
     if n == 1:
         return x
-    y = _ntt_impl(x, _stage_twiddles(log_n, True), log_n)
+    y = _ntt_dispatch(x, log_n, inverse=True)
     n_inv = pow(n, P - 2, P)
     return fd.mul(y, jnp.asarray(fd.from_int(n_inv)).reshape((N_LIMBS,) + (1,) * (y.ndim - 1)))
 

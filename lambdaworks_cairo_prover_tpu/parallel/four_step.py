@@ -39,22 +39,8 @@ from ..field.params import N_LIMBS, P as PRIME, get_primitive_root_of_unity
 from ..ntt import core as nttc
 
 
-def _build_inter(a_bits: jnp.ndarray, r: int) -> jnp.ndarray:
-    """(16, C, R) table T[c, t] = w^(c*t) from per-bit power rows.
-
-    a_bits[b] = [w^(c * 2^b) for c in range(C)] as (16, C) limbs; the
-    product over set bits of t reconstructs w^(c*t) with log2(R) batched
-    multiplies (no host-side N-element loop)."""
-    n_bits = a_bits.shape[0]
-    c = a_bits.shape[2]
-    t_idx = jax.lax.iota(jnp.uint32, r)
-    one = fd.ones((1, 1))  # (16, 1, 1) broadcastable Montgomery 1
-    t = jnp.broadcast_to(one, (N_LIMBS, c, r))
-    for b in range(n_bits):
-        sel = ((t_idx >> b) & 1).astype(jnp.bool_)
-        fac = jnp.where(sel[None, None, :], a_bits[b][:, :, None], one)
-        t = fd.mul(t, fac)
-    return t
+# Inter-factor table builder shared with the single-chip four-step path.
+_build_inter = nttc.build_inter_table
 
 
 class ShardedNTT:

@@ -155,7 +155,16 @@ class ProverKernels:
                 ntt_tables[("pw", off % P, m)] = nttc.offset_powers(off, m)
 
         def add_tw(log, inv):
-            if log >= 1:
+            if log < 1:
+                return
+            if log >= nttc.FOUR_STEP_MIN_LOG:
+                # large transforms run the four-step plan: inject its factor
+                # twiddles + inter table instead of 2^log stage twiddles
+                logr, logc = nttc.four_factors(log)
+                ntt_tables[("tw", logr, inv)] = nttc._stage_twiddles(logr, inv)
+                ntt_tables[("tw", logc, inv)] = nttc._stage_twiddles(logc, inv)
+                ntt_tables[("four", log, inv)] = nttc._four_table(log, inv)
+            else:
                 ntt_tables[("tw", log, inv)] = nttc._stage_twiddles(log, inv)
 
         add_pw(h, n)

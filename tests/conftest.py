@@ -15,6 +15,17 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if not os.environ.get("LCP_TPU_TESTS"):
+    # The axon sitecustomize imports jax at interpreter startup and bakes
+    # jax_platforms="axon" into the already-imported config, so the env var
+    # set above is too late; the config update below is what actually pins
+    # the suite to CPU.  Without it, backend init dials the TPU tunnel and
+    # hangs indefinitely whenever the relay is down.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 try:
     jax.config.update("jax_default_device", "cpu")
 except Exception:

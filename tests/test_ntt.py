@@ -76,3 +76,19 @@ def test_poly_eval_at_and_sum_reduce():
     x = rng.randrange(P)
     got = fd.to_int(nttc.poly_eval_at(arr, x).reshape(16, 1))
     assert got == eval_poly_int(coeffs, x)
+
+
+def test_four_step_dispatch_matches_flat(monkeypatch):
+    """The large-transform four-step plan (ntt/core.py::_ntt_four_impl) must
+    be bit-identical to the flat radix-2/4 schedule.  Production only engages
+    it at 2^17+; lowering the threshold exercises the dispatch cheaply."""
+    monkeypatch.setattr(nttc, "FOUR_STEP_MIN_LOG", 8)
+    log_n = 9
+    n = 1 << log_n
+    coeffs = [rng.randrange(P) for _ in range(n)]
+    arr = jnp.asarray(fd.from_ints(coeffs)).reshape(16, 1, n)
+    four = nttc.ntt(arr)
+    flat = nttc._ntt_impl(arr, nttc._stage_twiddles(log_n, False), log_n)
+    assert fd.to_ints(four[:, 0]) == fd.to_ints(flat[:, 0])
+    back = nttc.intt(four)
+    assert fd.to_ints(back[:, 0]) == coeffs
