@@ -13,7 +13,9 @@ The single JSON line carries the three BASELINE.json metrics:
   ntt_points_per_sec_chip   forward-NTT throughput microbenchmark
   proof_size_bytes serialized proof size
 
-Env knobs: BENCH_FIB (default 500), BENCH_QUERIES (80), BENCH_BLOWUP (4),
+Env knobs: BENCH_WORKLOAD (fib | rc | cairo1, default fib), BENCH_FIB
+(default 500), BENCH_RC_LOG2 (default 16 — BASELINE config 3: range-check
+builtin trace padded to 2^16 rows), BENCH_QUERIES (80), BENCH_BLOWUP (4),
 BENCH_GRINDING (20), BENCH_NTT_LOG2 (20), BENCH_SKIP_NTT=1.
 """
 
@@ -98,8 +100,65 @@ def _scaling_efficiency(log2n: int):
     }
 
 
+def _rc_workload(log2_rows: int):
+    """BASELINE config 3: a range-check-builtin Cairo0 program whose padded
+    main trace has 2**log2_rows rows.  Calibrates the value count against
+    the VM's measured steps-per-value (each value costs a fixed instruction
+    block, see cairo/programs.py::rc_program) and aims for ~90% of the
+    target so pub-memory dummy rows + pow-2 padding land exactly on it."""
+    from lambdaworks_cairo_prover_tpu.cairo import native as native_vm
+    from lambdaworks_cairo_prover_tpu.cairo.programs import rc_program
+    from lambdaworks_cairo_prover_tpu.cairo.runner import generate_prover_args
+    from lambdaworks_cairo_prover_tpu.cairo.vm import run_program
+
+    runner = (native_vm.run_program_native if native_vm.available()
+              else run_program)
+
+    def prepad_rows(k):
+        """VM steps + public-memory dummy rows ((program_size >> 2) + 1,
+        execution_trace.py::add_pub_memory_dummy_accesses) — the pre-pad
+        row count up to a handful of memory-hole fill rows."""
+        prog = rc_program(tuple((i * 7919 + 1) % (1 << 100)
+                                for i in range(k)))
+        regs, _, program_size, _ = runner(prog)
+        return len(regs.rows) + (program_size >> 2) + 1, prog
+
+    t16, _ = prepad_rows(16)
+    t64, _ = prepad_rows(64)
+    slope = (t64 - t16) / 48.0
+    base = t16 - slope * 16
+    target = 1 << log2_rows
+    k = max(1, int((0.95 * target - base) / slope))
+    for _ in range(4):
+        _, prog = prepad_rows(k)
+        trace, pub = generate_prover_args(prog)
+        if trace.n_rows == target:
+            break
+        # padding missed the power-of-two target: nudge k and rebuild
+        factor = 0.7 if trace.n_rows > target else 1.4
+        k = max(1, int(k * factor))
+    return trace, pub, f"rc_2^{log2_rows}"
+
+
+def _cairo1_workload():
+    """BASELINE config 4: the reference's compiled Cairo1 contract fixture
+    (fibonacci_cairo1.casm, hint-bearing, range-check gas accounting)."""
+    from lambdaworks_cairo_prover_tpu.cairo.runner import (
+        CairoVersion,
+        generate_prover_args,
+    )
+
+    fixture = "/root/reference/cairo_programs/cairo1/fibonacci_cairo1.casm"
+    with open(fixture, "rb") as f:
+        casm_bytes = f.read()
+    trace, pub = generate_prover_args(casm_bytes,
+                                      cairo_version=CairoVersion.V1)
+    return trace, pub, "cairo1_fib"
+
+
 def main():
     fib_n = int(os.environ.get("BENCH_FIB", "500"))
+    workload = os.environ.get("BENCH_WORKLOAD", "fib")
 
     from lambdaworks_cairo_prover_tpu.cairo.air import (
         generate_cairo_proof,
@@ -118,7 +177,15 @@ def main():
         grinding_factor=int(os.environ.get("BENCH_GRINDING", "20")),
     )
 
-    main_trace, pub_inputs = generate_prover_args(fibonacci_program(fib_n))
+    if workload == "rc":
+        main_trace, pub_inputs, tag = _rc_workload(
+            int(os.environ.get("BENCH_RC_LOG2", "16")))
+    elif workload == "cairo1":
+        main_trace, pub_inputs, tag = _cairo1_workload()
+    else:
+        main_trace, pub_inputs = generate_prover_args(
+            fibonacci_program(fib_n))
+        tag = f"fib{fib_n}"
 
     # warmup (compiles)
     proof = generate_cairo_proof(main_trace, pub_inputs, options)
@@ -140,12 +207,15 @@ def main():
     verifier_elapsed = time.perf_counter() - t0
 
     result = {
-        "metric": f"prover_cairo_fib{fib_n}_wall_time_80q_g20",
+        "metric": (f"prover_cairo_{tag}_wall_time_"
+                   f"{options.fri_number_of_queries}q_"
+                   f"g{options.grinding_factor}"),
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": 1.0,
         "verifier_s": round(verifier_elapsed, 4),
         "proof_size_bytes": len(serialize_proof(proof2)),
+        "trace_rows": main_trace.n_rows,
         "queries": options.fri_number_of_queries,
         "grinding_factor": options.grinding_factor,
     }
