@@ -137,7 +137,9 @@ def _rc_workload(log2_rows: int):
         # padding missed the power-of-two target: nudge k and rebuild
         factor = 0.7 if trace.n_rows > target else 1.4
         k = max(1, int(k * factor))
-    return trace, pub, f"rc_2^{log2_rows}"
+    # tag reports the ACTUAL padded size so a calibration miss can never
+    # mislabel the recorded metric
+    return trace, pub, f"rc_2^{trace.n_rows.bit_length() - 1}"
 
 
 def _cairo1_workload():

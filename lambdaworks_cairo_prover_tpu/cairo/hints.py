@@ -47,7 +47,7 @@ class UnknownHintError(HintError):
 
 
 _TOKEN_RE = re.compile(
-    r"\s*(cast|ap|fp|felt|\*+|[0-9]+|\(|\)|\[|\]|,|\+|-)"
+    r"\s*(cast|ap|fp|[A-Za-z_][A-Za-z0-9_]*|\.|\*+|[0-9]+|\(|\)|\[|\]|,|\+|-)"
 )
 
 
@@ -159,13 +159,28 @@ class ApTracking:
 
 @dataclass
 class Reference:
-    ast: object
+    """Lazily-parsed reference-manager entry.
+
+    Real cairo-compile outputs carry struct-typed references (e.g.
+    ``cast(ap + (-1), starkware.cairo.common.cairo_builtins.HashBuiltin*)``)
+    that the expression grammar above cannot evaluate; parsing happens on
+    first use so such entries only fail if a hint actually reads them
+    (cairo-vm likewise builds HintReference lazily per hint)."""
+
+    value: str
     ap_tracking: ApTracking
+    _ast: object = field(default=None, repr=False)
+
+    @property
+    def ast(self):
+        if self._ast is None:
+            self._ast = parse_reference_value(self.value)
+        return self._ast
 
     @classmethod
     def from_json(cls, obj) -> "Reference":
         return cls(
-            ast=parse_reference_value(obj["value"]),
+            value=obj["value"],
             ap_tracking=ApTracking.from_json(obj.get("ap_tracking_data")),
         )
 
@@ -180,6 +195,9 @@ class Hint:
     def from_json(cls, obj) -> "Hint":
         ftd = obj.get("flow_tracking_data", {})
         refs = {}
+        # Collapse fully-qualified paths to their last component, last one
+        # wins — the same rule cairo-vm's get_ids_data applies, so shadowed
+        # names resolve identically to the reference stack.
         for name, idx in ftd.get("reference_ids", {}).items():
             refs[name.rsplit(".", 1)[-1]] = idx
         return cls(
@@ -364,7 +382,11 @@ def _h_is_le_felt(vm, ids, ap, fp):
 
 
 def _h_is_positive(vm, ids, ap, fp):
-    ids.set("is_positive", 1 if 0 < _as_int(ids.value) else 0)
+    int_value = _as_int(ids.value)
+    # starkware math_utils.is_positive asserts the value is rc-representable
+    if not abs(int_value) < RC_BOUND:
+        raise HintError(f"value={ids.value} is out of the valid range.")
+    ids.set("is_positive", 1 if 0 < int_value else 0)
 
 
 def _h_assert_nn(vm, ids, ap, fp):

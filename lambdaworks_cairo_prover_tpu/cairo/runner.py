@@ -97,8 +97,10 @@ def generate_prover_args(program: Program | bytes | str, output_range=None,
     run.rs:242-263 with the V1 arm of run_program).
 
     ``layout`` defaults per version as the reference does (run.rs:247-250:
-    V0 -> Small, V1 -> Plain) and is validated against the program's
-    declared builtins."""
+    V0 -> Small, V1 -> Plain).  For V0 it is validated against the
+    program's declared builtins; the V1 entrypoint path ignores it —
+    contract builtins come from the entrypoint record, not the layout,
+    mirroring cairo-vm's run_from_entrypoint."""
     if cairo_version is CairoVersion.V1:
         from .casm import CasmContractClass, run_casm_entrypoint
 

@@ -42,6 +42,7 @@ class MerkleTree:
     def __init__(self, levels):
         # levels[0] = leaf digests (n, 8) ... levels[-1] = root (1, 8)
         self.levels = levels
+        self._root_bytes = None
 
     @classmethod
     def build_batch(cls, limbs: jnp.ndarray, n_cols: int) -> "MerkleTree":
@@ -66,9 +67,13 @@ class MerkleTree:
 
     @property
     def root(self) -> bytes:
-        from ..parallel.sharding import fetch_np
+        # cached: prove() reads each root twice (transcript append + proof
+        # container) and every fetch is a synchronous tunnel round trip
+        if self._root_bytes is None:
+            from ..parallel.sharding import fetch_np
 
-        return kd.digest_to_bytes(fetch_np(self.levels[-1])[0])
+            self._root_bytes = kd.digest_to_bytes(fetch_np(self.levels[-1])[0])
+        return self._root_bytes
 
     def get_proof(self, index: int) -> list[bytes]:
         return self.get_proofs([index])[0]

@@ -39,7 +39,15 @@ from .four_step import ShardedNTT
 class _RollFrame:
     """Whole-domain frame: row k = the LDE evaluations shifted by
     k*blowup with wraparound (identical values to the chunked halo frame
-    in prover/kernels.py; the roll becomes a collective permute)."""
+    in prover/kernels.py; the roll becomes a collective permute).
+
+    NOTE: expressed as whole-domain shifts inside one jit program — XLA is
+    free to fuse the shifted views into the constraint evaluation, but if
+    it materialises them the per-device working set gains one LDE-shard
+    copy per distinct frame offset (3 for the Cairo AIR).  If per-device
+    HBM becomes the binding constraint before shard count can grow, port
+    the _EVAL_CHUNK sub-chunking from prover/kernels.py::round2 to run
+    shard-locally here."""
 
     def __init__(self, data, offsets, blowup, out_len):
         self.ctx = DeviceCtx(batch_shape=(out_len,))
@@ -58,12 +66,25 @@ class ShardedProverKernels(ProverKernels):
     def __init__(self, air, domain, mesh, axis: str | None = None):
         if axis is None:
             axis = mesh.axis_names[0]
-        super().__init__(air, domain)
+        # mesh/sntt must exist before super().__init__ builds the domain
+        # tables: the _place hook shards their inputs so the derived tables
+        # compute block-sharded instead of materialising on one device
         self.mesh = mesh
         self.axis = axis
         self.sntt = ShardedNTT(mesh, axis)
-        # domain tables move to the block-sharded layout
+        super().__init__(air, domain)
+        # re-assert the block-sharded layout on every table (tables derived
+        # from small replicated literals, e.g. the tiled zerofier, may come
+        # out of the jitted build with a different placement)
         self.tables = {k: self.sntt.shard(v) for k, v in self.tables.items()}
+
+    def _place(self, arr):
+        return self.sntt.shard(arr)
+
+    def _build_ntt_tables(self) -> dict:
+        # rounds 1-4 transform via self.sntt (ShardedNTT carries its own
+        # sharded factor tables); the single-chip injection tables are unused
+        return {}
 
     # ------------------------------------------------------------------
     # round 1

@@ -139,13 +139,27 @@ class ProverKernels:
                     t[f"bz_inv_{s}"] = inv_big[:, i * N: (i + 1) * N]
             return t
 
+        pow_inputs = {k: self._place(v) for k, v in pow_inputs.items()}
         self.tables = build_tables(pow_inputs)
         self._jit_cache = {}
+        self.ntt_tables = self._build_ntt_tables()
 
+    def _place(self, arr):
+        """Placement hook for freshly-built domain tables (the sharded
+        subclass block-shards them so derived tables compute sharded)."""
+        return arr
+
+    def _build_ntt_tables(self) -> dict:
         # NTT tables (powers + twiddles) used INSIDE the jitted kernels are
         # computed eagerly here and passed to each kernel as runtime
         # ARGUMENTS via nttc.inject_tables — baking multi-MB tables as graph
-        # literals blows up compilation beyond n ~ 2^14.
+        # literals blows up compilation beyond n ~ 2^14.  The sharded
+        # subclass overrides this to {}: its rounds transform via ShardedNTT
+        # (own tables), so building these would waste per-device HBM at
+        # exactly the scales the mesh exists for.
+        domain = self.domain
+        n = self.air.trace_length()
+        N = domain.lde_size
         h = domain.coset_offset
         h_inv = pow(h, P - 2, P)
         ntt_tables = {}
@@ -183,7 +197,7 @@ class ProverKernels:
             size_d //= 2
             add_pw(off, size_c)
             add_tw(size_d.bit_length() - 1, False)
-        self.ntt_tables = ntt_tables
+        return ntt_tables
 
     def _probe_challenges(self):
         """Dummy rap challenges for structural inspection (boundary layout)."""

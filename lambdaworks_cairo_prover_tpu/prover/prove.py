@@ -180,6 +180,10 @@ def prove(
     timings = {}
     t0 = time.perf_counter()
 
+    if shard_axis not in ("domain", "columns"):
+        raise ProvingError(
+            f"unknown shard_axis {shard_axis!r}; expected 'domain' or 'columns'"
+        )
     if mesh is not None and shard_axis == "columns":
         from jax.sharding import NamedSharding, PartitionSpec
 

@@ -127,3 +127,31 @@ def test_hinted_program_proves(make):
     options = ProofOptions.default_test_options()
     proof = generate_cairo_proof(trace, pub, options)
     assert verify_cairo_proof(proof, pub, options)
+
+
+def test_struct_typed_references_load_lazily():
+    """Real cairo-compile JSONs carry struct-typed references (e.g.
+    HashBuiltin*) the expression grammar cannot evaluate; loading must
+    succeed and only a hint actually READING such a ref may fail."""
+    from lambdaworks_cairo_prover_tpu.cairo.stdlib import Asm
+
+    a = Asm()
+    a.label("main")
+    a.hint(H.IS_NN, {"a": "[cast(fp + (-3), felt*)]"})
+    a.push_imm(7)
+    a.ret()
+    built = a.finish("main", [])
+    built["identifiers"] = {"__main__.main": {"pc": 0}}
+    # struct-typed and expression-bearing entries, unused by any hint
+    built["reference_manager"]["references"].extend([
+        {"value": "cast(ap + (-1), "
+                  "starkware.cairo.common.cairo_builtins.HashBuiltin*)",
+         "ap_tracking_data": {"group": 0, "offset": 0}},
+        {"value": "cast([fp + (-4)] + 2, my.pkg.Struct*)",
+         "ap_tracking_data": {"group": 0, "offset": 0}},
+    ])
+    prog = Program.from_json(json.dumps(built))  # must not raise
+    # dotted type names parse (the type is swallowed), so even direct use
+    # works for address-shaped values
+    ref = prog.references[-2]
+    assert ref.ast[0] == "add"  # ap + (-1), HashBuiltin* type swallowed
