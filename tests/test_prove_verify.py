@@ -24,3 +24,29 @@ def test_wrong_pub_inputs_fails():
     options = ProofOptions.default_test_options()
     proof = prove(trace, FibonacciPublicInputs(a0=1, a1=1), options, FibonacciAIR)
     assert not verify(proof, FibonacciPublicInputs(a0=2, a1=1), options, FibonacciAIR)
+
+
+def test_four_step_prover_path_bytes_identical(monkeypatch):
+    """End-to-end prove with the four-step NTT plan engaged inside the
+    jitted kernels (table injection path: ("four", log, inv) keys flow
+    through ProverKernels.ntt_tables -> inject_tables).  Production only
+    engages it at LDE >= 2^17; lowering the threshold exercises it cheaply
+    and proof bytes must match the flat-schedule prover exactly."""
+    from lambdaworks_cairo_prover_tpu.ntt import core as nttc
+    from lambdaworks_cairo_prover_tpu.proof.serde import serialize_proof
+    from lambdaworks_cairo_prover_tpu.prover import kernels as pk
+
+    trace = fibonacci_trace([1, 1], 128)  # LDE = 512 = 2^9
+    pub = FibonacciPublicInputs(a0=1, a1=1)
+    options = ProofOptions.default_test_options()
+    baseline = serialize_proof(prove(trace, pub, options, FibonacciAIR))
+
+    monkeypatch.setattr(nttc, "FOUR_STEP_MIN_LOG", 8)
+    pk._KERNEL_CACHE.clear()
+    try:
+        proof = prove(fibonacci_trace([1, 1], 128), pub, options,
+                      FibonacciAIR)
+        assert serialize_proof(proof) == baseline
+        assert verify(proof, pub, options, FibonacciAIR)
+    finally:
+        pk._KERNEL_CACHE.clear()
