@@ -208,6 +208,26 @@ def hash_digest_pairs(digests: jnp.ndarray) -> jnp.ndarray:
     return _absorb_words(words)
 
 
+def digest_words_to_masked_limbs(digest: jnp.ndarray) -> jnp.ndarray:
+    """(8,) u32 LE-word digest -> (16, 1) RAW (non-Montgomery) limbs of the
+    251-bit-masked big-endian integer — the device twin of
+    transcript_to_field (field/host.py::randomness_to_field): interpret the
+    32 digest bytes as a BE integer and clear the top 5 bits.
+
+    Limb i (16-bit, LSB first) = byte[31-2i] | byte[30-2i] << 8, which per
+    LE word w[k] is the byte-swapped 16-bit halves of w[7-k]."""
+    w = digest[::-1].astype(U32)  # w[k] = digest word 7-k
+    hi = (w >> 16) & 0xFFFF
+    lo = w & 0xFFFF
+
+    def bs16(x):
+        return ((x & 0xFF) << 8) | (x >> 8)
+
+    limbs = jnp.stack([bs16(hi), bs16(lo)], axis=1).reshape(16)
+    limbs = limbs.at[15].set(limbs[15] & 0x7FF)  # clear top 5 of 256 bits
+    return limbs[:, None]
+
+
 def digest_to_bytes(digest_row: np.ndarray) -> bytes:
     """(8,) uint32 -> 32 bytes."""
     return np.asarray(digest_row, dtype="<u4").tobytes()

@@ -63,6 +63,8 @@ class _RollFrame:
 class ShardedProverKernels(ProverKernels):
     """Same interface as ProverKernels; the domain axis lives on a mesh."""
 
+    supports_fri_chain = False  # FRI layers fold via ShardedNTT per layer
+
     def __init__(self, air, domain, mesh, axis: str | None = None):
         if axis is None:
             axis = mesh.axis_names[0]

@@ -74,6 +74,11 @@ def _tree_levels(leaves):
 class ProverKernels:
     """Holds jitted closures + domain tables for one (air, domain) shape."""
 
+    # the single-program FRI commit chain (fri_commit_chain) relies on the
+    # injected single-chip NTT tables; the sharded kernels transform via
+    # ShardedNTT instead and keep the per-layer path
+    supports_fri_chain = True
+
     def __init__(self, air, domain):
         self.air = air
         self.domain = domain
@@ -573,6 +578,54 @@ class ProverKernels:
             self._jit_cache[key] = fold
         return _timed(f"fri_{domain_size}", self._jit_cache[key], coeffs,
                       zeta_arr, self.ntt_tables)
+
+    def fri_commit_chain(self, coeffs, state_words, plan):
+        """The whole device part of the FRI commit phase as ONE jitted
+        program: first-layer LDE + commit, then ``len(plan)`` folds whose
+        zetas come from the Fiat-Shamir chain computed ON DEVICE
+        (state' = keccak256(state || root), zeta = 251-bit-masked draw —
+        bit-identical to transcript/fiat_shamir.py).  The protocol forces
+        zeta_k to depend on root_k, which the per-layer path pays for with
+        a synchronous root readback per layer; chaining on device collapses
+        those round trips into one dispatch + one stacked-roots readback.
+
+        plan: static tuple of (offset_int, domain_size) per fold layer.
+        Returns (roots (L+1, 8) u32, evals tuple, levels tuple, coeffs)."""
+        key = ("fri_chain", coeffs.shape, plan)
+        if key not in self._jit_cache:
+            domain = self.domain
+
+            @jax.jit
+            def chain(cs, state, ntts):
+                with nttc.inject_tables(ntts):
+                    evals0 = nttc.evaluate_offset_fft(
+                        cs, 1, domain.lde_size, domain.coset_offset
+                    )
+                    leaves = kd.hash_felt_leaves(fd.from_mont(evals0))
+                    levels = _tree_levels(leaves)
+                    roots = [levels[-1][0]]
+                    evals_out = [evals0]
+                    levels_out = [levels]
+                    for off, ds in plan:
+                        state = kd.hash_digest_pairs(
+                            jnp.stack([state, roots[-1]], axis=0)
+                        )[0]
+                        zeta = fd.to_mont(
+                            kd.digest_words_to_masked_limbs(state)
+                        )
+                        cs = fd.add(cs[:, 0::2], fd.mul(cs[:, 1::2], zeta))
+                        evals = nttc.evaluate_offset_fft(cs, 1, ds, off)
+                        leaves = kd.hash_felt_leaves(fd.from_mont(evals))
+                        levels = _tree_levels(leaves)
+                        roots.append(levels[-1][0])
+                        evals_out.append(evals)
+                        levels_out.append(levels)
+                return (jnp.stack(roots, axis=0), tuple(evals_out),
+                        tuple(levels_out), cs)
+
+            self._jit_cache[key] = chain
+        return _timed("fri_chain", self._jit_cache[key], coeffs, state_words,
+                      self.ntt_tables)
 
 
 class _ProbeTranscript:

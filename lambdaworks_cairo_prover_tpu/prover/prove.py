@@ -38,18 +38,24 @@ import jax
 
 
 @jax.jit
-def _gather_cols(arr, idx):
-    return jnp.take(arr, idx, axis=1)
-
-
-@jax.jit
-def _gather_last(arr, idx):
-    return jnp.take(arr, idx, axis=2)
-
-
-@jax.jit
-def _gather_last2(arr, idx):
-    return jnp.take(arr, idx, axis=1)
+def _query_gather(srcs, idxs, dig_srcs, dig_idxs):
+    """All query-phase openings in one program: limb-value gathers along the
+    last axis (flattened to one (16, M) array) and Merkle sibling-digest
+    gathers for every device tree (one (K, 8) array).  Retraced per proof
+    shape; cached thereafter."""
+    limbs = jnp.concatenate(
+        [jnp.take(s, i, axis=-1).reshape(N_LIMBS, -1)
+         for s, i in zip(srcs, idxs)],
+        axis=1,
+    )
+    digs = [
+        jnp.take(lv, ix, axis=0)
+        for levels, per_level in zip(dig_srcs, dig_idxs)
+        for lv, ix in zip(levels, per_level)
+    ]
+    if digs:
+        return limbs, jnp.concatenate(digs, axis=0)
+    return limbs, jnp.zeros((0, 8), dtype=jnp.uint32)
 
 
 class ProvingError(Exception):
@@ -335,16 +341,56 @@ def prove(
     t4b = time.perf_counter()
     number_layers = domain.root_order
     fri_layers = []  # (evaluations, tree, domain_size)
-    evals0, levels0 = kern.fri_first_layer(deep_coeffs)
-    tree0 = fetch_tree(levels0)
-    fri_layers.append((evals0, tree0, N))
-    transcript.append(tree0.root)
 
     coeffs = deep_coeffs
     offset_int = h
     domain_size = N
-    host_coeffs = None  # once small enough, fold/hash layers on host
+    start_layer = 1
+
+    # device-layer plan: folds whose (halved) domain stays above the
+    # host-tail threshold — static, so the whole device part can run as one
+    # jitted chain with zetas computed on device (kern.fri_commit_chain)
+    chain_plan = []
+    off_p, ds_p = h, N
     for _ in range(1, number_layers):
+        off_p = off_p * off_p % P
+        ds_p //= 2
+        if ds_p <= _HOST_FRI_THRESHOLD:
+            break
+        chain_plan.append((off_p, ds_p))
+    buf = getattr(transcript, "_buf", None)
+    use_chain = (isinstance(transcript, DefaultTranscript) and chain_plan
+                 and buf is not None and len(buf) == 32
+                 and getattr(kern, "supports_fri_chain", False))
+    if use_chain:
+        from ..hash.keccak_device import digest_to_bytes
+
+        state0 = jnp.asarray(np.frombuffer(bytes(buf), dtype="<u4"))
+        roots_dev, evals_t, levels_t, coeffs = kern.fri_commit_chain(
+            deep_coeffs, state0, tuple(chain_plan)
+        )
+        roots_np = fetch_np(roots_dev)  # ONE readback for all layer roots
+        ds = N
+        for i, (evals, levels) in enumerate(zip(evals_t, levels_t)):
+            if i > 0:
+                # zeta_i was derived on device from the same chain; advance
+                # the host transcript identically
+                transcript_to_field(transcript)
+                ds //= 2
+            tree = fetch_tree(levels)
+            tree._root_bytes = digest_to_bytes(roots_np[i])
+            fri_layers.append((evals, tree, ds))
+            transcript.append(tree.root)
+        start_layer = len(chain_plan) + 1
+        offset_int, domain_size = chain_plan[-1]
+    else:
+        evals0, levels0 = kern.fri_first_layer(deep_coeffs)
+        tree0 = fetch_tree(levels0)
+        fri_layers.append((evals0, tree0, N))
+        transcript.append(tree0.root)
+
+    host_coeffs = None  # once small enough, fold/hash layers on host
+    for _ in range(start_layer, number_layers):
         zeta = transcript_to_field(transcript)
         offset_int = offset_int * offset_int % P
         domain_size //= 2
@@ -395,37 +441,93 @@ def prove(
     ]
     query_list = [FriDecommitment([], [], [], []) for _ in iotas]
     nq = len(iotas)
+    open_idxs = [iota % N for iota in iotas]
+
+    # ---- single-dispatch query gather ------------------------------------
+    # Every device-side opening (layer evaluations at iota/iota_sym, H1/H2
+    # and trace-row values, and ALL Merkle sibling digests of every device
+    # tree) concatenates into one jitted program: one dispatch, one (16, M)
+    # limb fetch and one (K, 8) digest fetch — instead of ~2 synchronous
+    # round trips per tree (reference opens per query per layer,
+    # fri/mod.rs:74-127 + prover.rs:484-529).
+    from ..hash.keccak_device import digest_to_bytes as _d2b
+
+    limb_srcs, limb_idx, limb_off = [], [], [0]
+    dig_srcs, dig_idx, dig_meta, dig_off = [], [], [], [0]
+
+    def queue_limbs(src, idxs):
+        limb_srcs.append(src)
+        limb_idx.append(jnp.asarray(idxs))
+        limb_off.append(limb_off[-1]
+                        + len(idxs) * int(np.prod(src.shape[1:-1], dtype=int)))
+        return len(limb_srcs) - 1
+
+    def queue_tree(tree, idxs):
+        if not isinstance(tree, MerkleTree):
+            return None  # host-tail tree: paths computed host-side
+        levels = tree.levels[:-1]
+        sib, cur = [], list(idxs)
+        for _ in levels:
+            sib.append([i ^ 1 for i in cur])
+            cur = [i >> 1 for i in cur]
+        dig_srcs.append(tuple(levels))
+        dig_idx.append(tuple(jnp.asarray(s) for s in sib))
+        dig_meta.append((len(levels), len(idxs)))
+        dig_off.append(dig_off[-1] + len(levels) * len(idxs))
+        return len(dig_srcs) - 1
+
+    layer_plans = []
     for evals, tree, ds in fri_layers:
-        idxs = [iota % ds for iota in iotas]
-        idxs_sym = [(iota + ds // 2) % ds for iota in iotas]
+        both_idx = ([iota % ds for iota in iotas]
+                    + [(iota + ds // 2) % ds for iota in iotas])
         if isinstance(evals, list):  # host-tail layer
-            both = [evals[i] for i in idxs + idxs_sym]
+            layer_plans.append(("host", [evals[i] for i in both_idx],
+                                tree.get_proofs(both_idx)))
         else:
-            both = fd.to_ints(fetch_np(_gather_last2(evals,
-                                                     jnp.asarray(idxs + idxs_sym))))
-        vals, vals_sym = both[:nq], both[nq:]
-        paths_both = tree.get_proofs(idxs + idxs_sym)
+            layer_plans.append(("dev", queue_limbs(evals, both_idx),
+                                queue_tree(tree, both_idx)))
+    h12_pos = queue_limbs(jnp.stack([h1_lde, h2_lde], axis=1), open_idxs)
+    rows_pos = queue_limbs(lde_evals, open_idxs)
+    comp_pos = queue_tree(composition_tree, open_idxs)
+    trace_pos = [queue_tree(t, open_idxs) for t in lde_trace_merkle_trees]
+
+    limbs_all, digs_all = _query_gather(
+        tuple(limb_srcs), tuple(limb_idx), tuple(dig_srcs), tuple(dig_idx)
+    )
+    all_ints = fd.to_ints(fetch_np(limbs_all))
+    digs_np = fetch_np(digs_all)
+
+    def tree_paths(tpos, k):
+        base, n_levels = dig_off[tpos], dig_meta[tpos][0]
+        return [
+            [_d2b(digs_np[base + li * k + q]) for li in range(n_levels)]
+            for q in range(k)
+        ]
+
+    for plan, (evals, tree, ds) in zip(layer_plans, fri_layers):
+        if plan[0] == "host":
+            _, vals_both, paths_both = plan
+        else:
+            _, lpos, tpos = plan
+            vals_both = all_ints[limb_off[lpos]: limb_off[lpos + 1]]
+            paths_both = tree_paths(tpos, 2 * nq)
+        vals, vals_sym = vals_both[:nq], vals_both[nq:]
         paths, paths_sym = paths_both[:nq], paths_both[nq:]
-        for q in range(len(iotas)):
+        for q in range(nq):
             query_list[q].layers_evaluations.append(vals[q])
             query_list[q].layers_evaluations_sym.append(vals_sym[q])
             query_list[q].layers_auth_paths.append(paths[q])
             query_list[q].layers_auth_paths_sym.append(paths_sym[q])
 
     # DEEP openings (reference prover.rs:484-529)
-    open_idxs = [iota % N for iota in iotas]
-    h12_dev = _gather_last(jnp.stack([h1_lde, h2_lde], axis=1),
-                           jnp.asarray(open_idxs))
-    h12_open = fd.to_ints(fetch_np(h12_dev).reshape(N_LIMBS, -1))
-    nq_open = len(open_idxs)
-    h1_open, h2_open = h12_open[:nq_open], h12_open[nq_open:]
-    comp_paths = composition_tree.get_proofs(open_idxs)
-    trace_paths_per_tree = [t.get_proofs(open_idxs) for t in lde_trace_merkle_trees]
-    trace_rows_open = _gather_last(lde_evals, jnp.asarray(open_idxs))
-    trace_rows_ints = fd.to_ints(fetch_np(trace_rows_open).reshape(N_LIMBS, -1))
+    h12_open = all_ints[limb_off[h12_pos]: limb_off[h12_pos + 1]]
+    h1_open, h2_open = h12_open[:nq], h12_open[nq:]
+    trace_rows_ints = all_ints[limb_off[rows_pos]: limb_off[rows_pos + 1]]
+    comp_paths = tree_paths(comp_pos, nq)
+    trace_paths_per_tree = [tree_paths(tp, nq) for tp in trace_pos]
     deep_poly_openings = []
     for q, idx in enumerate(open_idxs):
-        row = [trace_rows_ints[j * len(open_idxs) + q] for j in range(total_cols)]
+        row = [trace_rows_ints[j * nq + q] for j in range(total_cols)]
         deep_poly_openings.append(
             DeepPolynomialOpenings(
                 lde_composition_poly_proof=comp_paths[q],

@@ -50,3 +50,23 @@ def test_four_step_prover_path_bytes_identical(monkeypatch):
         assert verify(proof, pub, options, FibonacciAIR)
     finally:
         pk._KERNEL_CACHE.clear()
+
+
+def test_device_fri_chain_bytes_identical(monkeypatch):
+    """The single-program FRI commit chain (zetas computed on device via the
+    keccak transcript rule) must produce byte-identical proofs to the
+    per-layer host-synced path.  Production engages it when device layers
+    exist above the host-tail threshold; lowering the threshold exercises
+    it at test size."""
+    from lambdaworks_cairo_prover_tpu.proof.serde import serialize_proof
+    from lambdaworks_cairo_prover_tpu.prover import prove as pv
+
+    pub = FibonacciPublicInputs(a0=1, a1=1)
+    options = ProofOptions.default_test_options()
+    baseline = serialize_proof(
+        pv.prove(fibonacci_trace([1, 1], 128), pub, options, FibonacciAIR))
+    monkeypatch.setattr(pv, "_HOST_FRI_THRESHOLD", 64)  # 2 device folds
+    proof = pv.prove(fibonacci_trace([1, 1], 128), pub, options,
+                     FibonacciAIR)
+    assert serialize_proof(proof) == baseline
+    assert verify(proof, pub, options, FibonacciAIR)
