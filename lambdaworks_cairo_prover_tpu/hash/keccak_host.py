@@ -71,6 +71,19 @@ def _load_native():
     lib.keccak256.restype = None
     lib.keccak256.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                               ctypes.c_char_p]
+    if hasattr(lib, "keccak256_merkle_fold"):
+        lib.keccak256_merkle_fold.restype = None
+        lib.keccak256_merkle_fold.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_uint64, ctypes.c_char_p,
+        ]
+    if hasattr(lib, "keccak256_merkle_fold_batch"):
+        lib.keccak256_merkle_fold_batch.restype = None
+        lib.keccak256_merkle_fold_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+            ctypes.c_char_p,
+        ]
     return lib
 
 
@@ -83,6 +96,49 @@ def keccak256(data: bytes) -> bytes:
         _NATIVE.keccak256(data, len(data), out)
         return out
     return _keccak256_py(data)
+
+
+def merkle_fold(leaf_hash: bytes, path: list[bytes], index: int) -> bytes:
+    """Fold an authentication path to its root digest (lambdaworks
+    `Proof::verify` rule) — one native call per path instead of one ctypes
+    round trip per level."""
+    if _NATIVE is not None and hasattr(_NATIVE, "keccak256_merkle_fold"):
+        out = bytes(32)
+        _NATIVE.keccak256_merkle_fold(leaf_hash, b"".join(path), len(path),
+                                      index, out)
+        return out
+    h = leaf_hash
+    for sibling in path:
+        h = keccak256(h + sibling) if index % 2 == 0 else keccak256(sibling + h)
+        index >>= 1
+    return h
+
+
+def merkle_fold_batch(leaf_hashes: list[bytes], paths: list[list[bytes]],
+                      indices: list[int]) -> list[bytes]:
+    """Fold a batch of equal-depth authentication paths — one native call
+    per TREE instead of one per path (the verifier's hot loop: Q queries x
+    FRI layers x 2 openings)."""
+    n = len(leaf_hashes)
+    if n == 0:
+        return []
+    depth = len(paths[0])
+    native_ok = (_NATIVE is not None
+                 and hasattr(_NATIVE, "keccak256_merkle_fold_batch")
+                 and all(len(p) == depth for p in paths))
+    if native_ok:
+        import ctypes
+
+        out = bytes(32 * n)
+        idx_arr = (ctypes.c_uint64 * n)(*indices)
+        _NATIVE.keccak256_merkle_fold_batch(
+            b"".join(leaf_hashes),
+            b"".join(b"".join(p) for p in paths),
+            depth, idx_arr, n, out,
+        )
+        return [out[32 * i: 32 * i + 32] for i in range(n)]
+    return [merkle_fold(lh, p, i)
+            for lh, p, i in zip(leaf_hashes, paths, indices)]
 
 
 def _keccak256_py(data: bytes) -> bytes:

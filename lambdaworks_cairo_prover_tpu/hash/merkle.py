@@ -20,7 +20,7 @@ import numpy as np
 import jax
 
 from . import keccak_device as kd
-from .keccak_host import keccak256
+from .keccak_host import keccak256, merkle_fold
 
 
 @jax.jit
@@ -126,14 +126,7 @@ def fetch_tree(levels) -> MerkleTree:
 
 def verify_proof(root: bytes, index: int, leaf_hash: bytes, path: list[bytes]) -> bool:
     """Host-side path verification (lambdaworks `Proof::verify` semantics)."""
-    h = leaf_hash
-    for sibling in path:
-        if index % 2 == 0:
-            h = keccak256(h + sibling)
-        else:
-            h = keccak256(sibling + h)
-        index >>= 1
-    return h == root
+    return merkle_fold(leaf_hash, path, index) == root
 
 
 def hash_leaf_felts_host(felt_ints: list[int]) -> bytes:

@@ -12,7 +12,7 @@ from dataclasses import dataclass
 from ..air.frame import HostFrame
 from ..field import host as fh
 from ..field.params import P, get_primitive_root_of_unity
-from ..hash.keccak_host import keccak256
+from ..hash.keccak_host import keccak256, merkle_fold_batch
 from ..hash.merkle import hash_leaf_felts_host, verify_proof
 from ..proof.options import ProofOptions
 from ..proof.stark import StarkProof
@@ -164,52 +164,49 @@ def _step_2_verify_composition_poly(air, proof, domain, challenges) -> bool:
     return computed == claimed
 
 
-def _verify_query_and_sym_openings(
-    proof, zetas, iota, fri_decommitment, domain, evaluation_point_inv
-) -> bool:
+def _step_3_verify_fri(proof, domain, challenges) -> bool:
+    """FRI openings + colinearity (reference verifier.rs:319-356, 443-523).
+
+    Merkle verification batches per LAYER across all queries (value +
+    symmetric openings in one native fold call — see
+    keccak_host.merkle_fold_batch); the colinearity recursion stays per
+    query (tiny field math)."""
+    eval_points = [domain.lde_point(iota) for iota in challenges.iotas]
+    eval_points_inv = fh.batch_inverse(eval_points)
+    num_layers = len(proof.fri_layers_merkle_roots)
     two_inv = fh.finv(2)
     ok = True
-    v = fri_decommitment.layers_evaluations[0]
-    ep_inv = evaluation_point_inv
-    num_layers = len(proof.fri_layers_merkle_roots)
     for k in range(num_layers):
         merkle_root = proof.fri_layers_merkle_roots[k]
         domain_length = 1 << (domain.lde_root_order - k)
-        index = iota % domain_length
-        index_sym = (iota + domain_length // 2) % domain_length
-        evaluation = fri_decommitment.layers_evaluations[k]
-        evaluation_sym = fri_decommitment.layers_evaluations_sym[k]
-        leaf = keccak256(fh.to_bytes_be(evaluation))
-        leaf_sym = keccak256(fh.to_bytes_be(evaluation_sym))
-        ok &= verify_proof(
-            merkle_root, index, leaf, fri_decommitment.layers_auth_paths[k]
-        )
-        ok &= verify_proof(
-            merkle_root, index_sym, leaf_sym, fri_decommitment.layers_auth_paths_sym[k]
-        )
-        beta = zetas[k]
-        v = (
-            (v + evaluation_sym) * two_inv
-            + beta * ((v - evaluation_sym) % P) % P * two_inv % P * ep_inv
-        ) % P
-        if k < num_layers - 1:
-            ok &= v == fri_decommitment.layers_evaluations[k + 1]
-        else:
-            ok &= v == proof.fri_last_value
-        ep_inv = ep_inv * ep_inv % P
-    return bool(ok)
-
-
-def _step_3_verify_fri(proof, domain, challenges) -> bool:
-    eval_points = [domain.lde_point(iota) for iota in challenges.iotas]
-    eval_points_inv = fh.batch_inverse(eval_points)
-    ok = True
-    for decommitment, iota, ep_inv in zip(
+        leaves, paths, idxs = [], [], []
+        for iota, dec in zip(challenges.iotas, proof.query_list):
+            leaves.append(keccak256(fh.to_bytes_be(dec.layers_evaluations[k])))
+            paths.append(dec.layers_auth_paths[k])
+            idxs.append(iota % domain_length)
+            leaves.append(
+                keccak256(fh.to_bytes_be(dec.layers_evaluations_sym[k])))
+            paths.append(dec.layers_auth_paths_sym[k])
+            idxs.append((iota + domain_length // 2) % domain_length)
+        roots = merkle_fold_batch(leaves, paths, idxs)
+        ok &= all(r == merkle_root for r in roots)
+    for dec, iota, ep_inv in zip(
         proof.query_list, challenges.iotas, eval_points_inv
     ):
-        ok &= _verify_query_and_sym_openings(
-            proof, challenges.zetas, iota, decommitment, domain, ep_inv
-        )
+        v = dec.layers_evaluations[0]
+        epi = ep_inv
+        for k in range(num_layers):
+            evaluation_sym = dec.layers_evaluations_sym[k]
+            beta = challenges.zetas[k]
+            v = (
+                (v + evaluation_sym) * two_inv
+                + beta * ((v - evaluation_sym) % P) % P * two_inv % P * epi
+            ) % P
+            if k < num_layers - 1:
+                ok &= v == dec.layers_evaluations[k + 1]
+            else:
+                ok &= v == proof.fri_last_value
+            epi = epi * epi % P
     return bool(ok)
 
 
@@ -222,34 +219,45 @@ def _step_4_verify_deep_composition(air, proof, domain, challenges) -> bool:
     num_main = air.context.trace_columns - air.number_auxiliary_rap_columns()
 
     ok = True
+    # batched Merkle verification: one native fold call for the composition
+    # tree and one per trace tree, over all queries
+    comp_roots = merkle_fold_batch(
+        [hash_leaf_felts_host([o.lde_composition_poly_even_evaluation,
+                               o.lde_composition_poly_odd_evaluation])
+         for o in proof.deep_poly_openings],
+        [o.lde_composition_poly_proof for o in proof.deep_poly_openings],
+        list(challenges.iotas),
+    )
+    ok &= (len(comp_roots) == len(challenges.iotas)
+           and all(r == proof.composition_poly_root for r in comp_roots))
+    for t, root in enumerate(proof.lde_trace_merkle_roots):
+        col_slice = (slice(None, num_main) if t == 0
+                     else slice(num_main, None))
+        got = merkle_fold_batch(
+            [hash_leaf_felts_host(o.lde_trace_evaluations[col_slice])
+             for o in proof.deep_poly_openings
+             if t < len(o.lde_trace_merkle_proofs)],
+            [o.lde_trace_merkle_proofs[t] for o in proof.deep_poly_openings
+             if t < len(o.lde_trace_merkle_proofs)],
+            [iota for iota, o in zip(challenges.iotas,
+                                     proof.deep_poly_openings)
+             if t < len(o.lde_trace_merkle_proofs)],
+        )
+        ok &= (len(got) == len(challenges.iotas)
+               and all(r == root for r in got))
+
+    # z*g^row are query-invariant; all trace divisors invert in ONE batch
+    # (one Fermat inversion total instead of one per query)
+    n_rows = len(proof.trace_ood_frame_evaluations)
+    zg = [challenges.z * pow(g, row, P) % P for row in range(n_rows)]
+    xs = [domain.lde_point(iota) for iota in challenges.iotas]
+    all_divisors = fh.batch_inverse(
+        [(x - zg[row]) % P for x in xs for row in range(n_rows)]
+    )
     for i, (iota, opening, denom_inv) in enumerate(
         zip(challenges.iotas, proof.deep_poly_openings, denom_invs)
     ):
-        comp_leaf = hash_leaf_felts_host(
-            [
-                opening.lde_composition_poly_even_evaluation,
-                opening.lde_composition_poly_odd_evaluation,
-            ]
-        )
-        ok &= verify_proof(
-            proof.composition_poly_root, iota, comp_leaf,
-            opening.lde_composition_poly_proof,
-        )
-
-        groups = [
-            opening.lde_trace_evaluations[:num_main],
-            opening.lde_trace_evaluations[num_main:],
-        ]
-        for root, path, evaluation in zip(
-            proof.lde_trace_merkle_roots, opening.lde_trace_merkle_proofs, groups
-        ):
-            ok &= verify_proof(root, iota, hash_leaf_felts_host(evaluation), path)
-
-        n_rows = len(proof.trace_ood_frame_evaluations)
-        x = domain.lde_point(iota)
-        divisors = fh.batch_inverse(
-            [(x - challenges.z * pow(g, row, P)) % P for row in range(n_rows)]
-        )
+        divisors = all_divisors[i * n_rows: (i + 1) * n_rows]
         # reconstruct Deep(x)
         trace_term = 0
         n_cols = len(proof.trace_ood_frame_evaluations[0])

@@ -120,4 +120,40 @@ void keccak256_merkle_level(const uint8_t* digests, size_t n, uint8_t* out) {
         keccak256_one(digests + 64 * i, 64, out + 32 * i);
 }
 
+// fold one Merkle authentication path: h = leaf; per level
+// h = keccak(h || sib) if the index bit is even else keccak(sib || h)
+// (lambdaworks Proof::verify rule).  One call per path instead of one
+// ctypes round trip per level — the verifier's hot loop.
+void keccak256_merkle_fold(const uint8_t* leaf, const uint8_t* siblings,
+                           size_t n_levels, uint64_t index, uint8_t* out) {
+    uint8_t buf[64];
+    uint8_t h[32];
+    std::memcpy(h, leaf, 32);
+    for (size_t i = 0; i < n_levels; ++i) {
+        if ((index & 1) == 0) {
+            std::memcpy(buf, h, 32);
+            std::memcpy(buf + 32, siblings + 32 * i, 32);
+        } else {
+            std::memcpy(buf, siblings + 32 * i, 32);
+            std::memcpy(buf + 32, h, 32);
+        }
+        keccak256_one(buf, 64, h);
+        index >>= 1;
+    }
+    std::memcpy(out, h, 32);
+}
+
+// batch of equal-depth paths: leaves (n_paths*32), siblings path-major
+// (n_paths * n_levels * 32), indices (n_paths u64) -> roots (n_paths*32).
+// One ctypes call per tree instead of one per path.
+void keccak256_merkle_fold_batch(const uint8_t* leaves,
+                                 const uint8_t* siblings, size_t n_levels,
+                                 const uint64_t* indices, size_t n_paths,
+                                 uint8_t* out) {
+    for (size_t p = 0; p < n_paths; ++p)
+        keccak256_merkle_fold(leaves + 32 * p,
+                              siblings + 32 * n_levels * p, n_levels,
+                              indices[p], out + 32 * p);
+}
+
 }  // extern "C"
