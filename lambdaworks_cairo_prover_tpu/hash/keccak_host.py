@@ -84,6 +84,12 @@ def _load_native():
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
             ctypes.c_char_p,
         ]
+    if hasattr(lib, "keccak256_batch"):
+        lib.keccak256_batch.restype = None
+        lib.keccak256_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_char_p,
+        ]
     return lib
 
 
@@ -112,6 +118,21 @@ def merkle_fold(leaf_hash: bytes, path: list[bytes], index: int) -> bytes:
         h = keccak256(h + sibling) if index % 2 == 0 else keccak256(sibling + h)
         index >>= 1
     return h
+
+
+def keccak256_batch(msgs: list[bytes]) -> list[bytes]:
+    """Hash a batch of equal-length messages in one native call (falls back
+    to per-message hashing for ragged batches or without the .so)."""
+    n = len(msgs)
+    if n == 0:
+        return []
+    length = len(msgs[0])
+    if (_NATIVE is not None and hasattr(_NATIVE, "keccak256_batch")
+            and all(len(m) == length for m in msgs)):
+        out = bytes(32 * n)
+        _NATIVE.keccak256_batch(b"".join(msgs), length, n, out)
+        return [out[32 * i: 32 * i + 32] for i in range(n)]
+    return [keccak256(m) for m in msgs]
 
 
 def merkle_fold_batch(leaf_hashes: list[bytes], paths: list[list[bytes]],

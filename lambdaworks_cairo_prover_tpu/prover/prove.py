@@ -18,8 +18,8 @@ from ..air.trace import TraceTable
 from ..field import device as fd
 from ..field import host as fh
 from ..field.params import N_LIMBS, P
-from ..hash.keccak_host import keccak256
-from ..hash.merkle import MerkleTree, fetch_tree, hash_leaf_felts_host
+from ..hash.keccak_host import keccak256, keccak256_batch
+from ..hash.merkle import MerkleTree, fetch_tree
 from ..ntt import core as nttc
 from ..proof.options import ProofOptions
 from ..proof.stark import DeepPolynomialOpenings, FriDecommitment, StarkProof
@@ -118,8 +118,9 @@ class _HostMerkle:
         levels = [leaf_digests]
         cur = leaf_digests
         while len(cur) > 1:
-            cur = [keccak256(cur[i] + cur[i + 1])
-                   for i in range(0, len(cur), 2)]
+            cur = keccak256_batch(
+                [cur[i] + cur[i + 1] for i in range(0, len(cur), 2)]
+            )
             levels.append(cur)
         self.levels = levels
 
@@ -400,7 +401,8 @@ def prove(
             host_coeffs = _host_fold(host_coeffs, zeta)
             evals = _host_evaluate_offset_fft(host_coeffs, domain_size,
                                               offset_int)
-            tree = _HostMerkle([hash_leaf_felts_host([v]) for v in evals])
+            tree = _HostMerkle(keccak256_batch(
+                [fh.to_bytes_be(v) for v in evals]))
             fri_layers.append((evals, tree, domain_size))
         else:
             coeffs, evals, levels = kern.fri_fold_layer(
