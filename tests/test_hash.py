@@ -121,3 +121,41 @@ def test_native_keccak_matches_python():
     for ln in [0, 1, 32, 64, 135, 136, 137, 272, 1000]:
         data = bytes(rng.randrange(256) for _ in range(ln))
         assert kh.keccak256(data) == kh._keccak256_py(data)
+
+
+def test_batch_helpers_match_scalar_paths():
+    """keccak256_batch / merkle_fold / merkle_fold_batch vs their scalar
+    definitions, including the ragged-batch python fallbacks."""
+    import random
+
+    from lambdaworks_cairo_prover_tpu.hash import keccak_host as kh
+
+    rng = random.Random(23)
+    msgs = [bytes(rng.randrange(256) for _ in range(64)) for _ in range(7)]
+    assert kh.keccak256_batch(msgs) == [kh.keccak256(m) for m in msgs]
+    ragged = msgs + [b"xy"]
+    assert kh.keccak256_batch(ragged) == [kh.keccak256(m) for m in ragged]
+    assert kh.keccak256_batch([]) == []
+
+    def fold_py(leaf, path, idx):
+        h = leaf
+        for sib in path:
+            h = (kh.keccak256(h + sib) if idx % 2 == 0
+                 else kh.keccak256(sib + h))
+            idx >>= 1
+        return h
+
+    leaves, paths, idxs = [], [], []
+    for _ in range(9):
+        leaves.append(bytes(rng.randrange(256) for _ in range(32)))
+        paths.append([bytes(rng.randrange(256) for _ in range(32))
+                      for _ in range(5)])
+        idxs.append(rng.randrange(1 << 5))
+    want = [fold_py(lf, p, i) for lf, p, i in zip(leaves, paths, idxs)]
+    assert kh.merkle_fold_batch(leaves, paths, idxs) == want
+    assert [kh.merkle_fold(lf, p, i)
+            for lf, p, i in zip(leaves, paths, idxs)] == want
+    # ragged depths -> per-path fallback
+    paths[3] = paths[3][:2]
+    want[3] = fold_py(leaves[3], paths[3], idxs[3])
+    assert kh.merkle_fold_batch(leaves, paths, idxs) == want
