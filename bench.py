@@ -103,9 +103,9 @@ def _scaling_efficiency(log2n: int):
 def _rc_workload(log2_rows: int):
     """BASELINE config 3: a range-check-builtin Cairo0 program whose padded
     main trace has 2**log2_rows rows.  Calibrates the value count against
-    the VM's measured steps-per-value (each value costs a fixed instruction
-    block, see cairo/programs.py::rc_program) and aims for ~90% of the
-    target so pub-memory dummy rows + pow-2 padding land exactly on it."""
+    the VM's measured rows-per-value (each value costs a fixed instruction
+    block, see cairo/programs.py::rc_program) and aims for 95% of the
+    target so pow-2 padding lands exactly on it."""
     from lambdaworks_cairo_prover_tpu.cairo import native as native_vm
     from lambdaworks_cairo_prover_tpu.cairo.programs import rc_program
     from lambdaworks_cairo_prover_tpu.cairo.runner import generate_prover_args
@@ -130,7 +130,8 @@ def _rc_workload(log2_rows: int):
     target = 1 << log2_rows
     k = max(1, int((0.95 * target - base) / slope))
     for _ in range(4):
-        _, prog = prepad_rows(k)
+        prog = rc_program(tuple((i * 7919 + 1) % (1 << 100)
+                                for i in range(k)))
         trace, pub = generate_prover_args(prog)
         if trace.n_rows == target:
             break
@@ -143,14 +144,16 @@ def _rc_workload(log2_rows: int):
 
 
 def _cairo1_workload():
-    """BASELINE config 4: the reference's compiled Cairo1 contract fixture
-    (fibonacci_cairo1.casm, hint-bearing, range-check gas accounting)."""
+    """BASELINE config 4: a compiled Cairo1 contract (hint-bearing,
+    range-check gas accounting).  BENCH_CASM overrides the fixture path."""
     from lambdaworks_cairo_prover_tpu.cairo.runner import (
         CairoVersion,
         generate_prover_args,
     )
 
-    fixture = "/root/reference/cairo_programs/cairo1/fibonacci_cairo1.casm"
+    fixture = os.environ.get(
+        "BENCH_CASM",
+        "/root/reference/cairo_programs/cairo1/fibonacci_cairo1.casm")
     with open(fixture, "rb") as f:
         casm_bytes = f.read()
     trace, pub = generate_prover_args(casm_bytes,

@@ -108,11 +108,15 @@ def merkle_fold(leaf_hash: bytes, path: list[bytes], index: int) -> bytes:
     """Fold an authentication path to its root digest (lambdaworks
     `Proof::verify` rule) — one native call per path instead of one ctypes
     round trip per level."""
-    if _NATIVE is not None and hasattr(_NATIVE, "keccak256_merkle_fold"):
+    if (_NATIVE is not None and hasattr(_NATIVE, "keccak256_merkle_fold")
+            and len(leaf_hash) == 32
+            and all(len(s) == 32 for s in path)):
         out = bytes(32)
         _NATIVE.keccak256_merkle_fold(leaf_hash, b"".join(path), len(path),
                                       index, out)
         return out
+    # python fallback — also the safe path for malformed (non-32-byte)
+    # sibling entries in adversarial proofs
     h = leaf_hash
     for sibling in path:
         h = keccak256(h + sibling) if index % 2 == 0 else keccak256(sibling + h)
@@ -144,9 +148,15 @@ def merkle_fold_batch(leaf_hashes: list[bytes], paths: list[list[bytes]],
     if n == 0:
         return []
     depth = len(paths[0])
+    # the native fast path requires a perfectly regular batch (equal counts,
+    # equal depths, 32-byte digests); adversarial proofs fall back to the
+    # memory-safe python loop
     native_ok = (_NATIVE is not None
                  and hasattr(_NATIVE, "keccak256_merkle_fold_batch")
-                 and all(len(p) == depth for p in paths))
+                 and len(paths) == n and len(indices) == n
+                 and all(len(lh) == 32 for lh in leaf_hashes)
+                 and all(len(p) == depth for p in paths)
+                 and all(len(s) == 32 for p in paths for s in p))
     if native_ok:
         import ctypes
 

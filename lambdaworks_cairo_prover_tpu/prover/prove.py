@@ -360,7 +360,9 @@ def prove(
             break
         chain_plan.append((off_p, ds_p))
     buf = getattr(transcript, "_buf", None)
-    use_chain = (isinstance(transcript, DefaultTranscript) and chain_plan
+    # exact-type check: a DefaultTranscript SUBCLASS may override the
+    # append/challenge rule, which the device chain hard-codes
+    use_chain = (type(transcript) is DefaultTranscript and chain_plan
                  and buf is not None and len(buf) == 32
                  and getattr(kern, "supports_fri_chain", False))
     if use_chain:

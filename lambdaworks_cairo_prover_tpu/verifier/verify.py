@@ -12,8 +12,7 @@ from dataclasses import dataclass
 from ..air.frame import HostFrame
 from ..field import host as fh
 from ..field.params import P, get_primitive_root_of_unity
-from ..hash.keccak_host import keccak256, merkle_fold_batch
-from ..hash.merkle import hash_leaf_felts_host, verify_proof
+from ..hash.keccak_host import keccak256, keccak256_batch, merkle_fold_batch
 from ..proof.options import ProofOptions
 from ..proof.stark import StarkProof
 from ..prover.domain import Domain
@@ -179,16 +178,15 @@ def _step_3_verify_fri(proof, domain, challenges) -> bool:
     for k in range(num_layers):
         merkle_root = proof.fri_layers_merkle_roots[k]
         domain_length = 1 << (domain.lde_root_order - k)
-        leaves, paths, idxs = [], [], []
+        leaf_msgs, paths, idxs = [], [], []
         for iota, dec in zip(challenges.iotas, proof.query_list):
-            leaves.append(keccak256(fh.to_bytes_be(dec.layers_evaluations[k])))
+            leaf_msgs.append(fh.to_bytes_be(dec.layers_evaluations[k]))
             paths.append(dec.layers_auth_paths[k])
             idxs.append(iota % domain_length)
-            leaves.append(
-                keccak256(fh.to_bytes_be(dec.layers_evaluations_sym[k])))
+            leaf_msgs.append(fh.to_bytes_be(dec.layers_evaluations_sym[k]))
             paths.append(dec.layers_auth_paths_sym[k])
             idxs.append((iota + domain_length // 2) % domain_length)
-        roots = merkle_fold_batch(leaves, paths, idxs)
+        roots = merkle_fold_batch(keccak256_batch(leaf_msgs), paths, idxs)
         ok &= all(r == merkle_root for r in roots)
     for dec, iota, ep_inv in zip(
         proof.query_list, challenges.iotas, eval_points_inv
@@ -222,9 +220,10 @@ def _step_4_verify_deep_composition(air, proof, domain, challenges) -> bool:
     # batched Merkle verification: one native fold call for the composition
     # tree and one per trace tree, over all queries
     comp_roots = merkle_fold_batch(
-        [hash_leaf_felts_host([o.lde_composition_poly_even_evaluation,
-                               o.lde_composition_poly_odd_evaluation])
-         for o in proof.deep_poly_openings],
+        keccak256_batch(
+            [fh.to_bytes_be(o.lde_composition_poly_even_evaluation)
+             + fh.to_bytes_be(o.lde_composition_poly_odd_evaluation)
+             for o in proof.deep_poly_openings]),
         [o.lde_composition_poly_proof for o in proof.deep_poly_openings],
         list(challenges.iotas),
     )
@@ -234,9 +233,11 @@ def _step_4_verify_deep_composition(air, proof, domain, challenges) -> bool:
         col_slice = (slice(None, num_main) if t == 0
                      else slice(num_main, None))
         got = merkle_fold_batch(
-            [hash_leaf_felts_host(o.lde_trace_evaluations[col_slice])
-             for o in proof.deep_poly_openings
-             if t < len(o.lde_trace_merkle_proofs)],
+            keccak256_batch(
+                [b"".join(fh.to_bytes_be(v)
+                          for v in o.lde_trace_evaluations[col_slice])
+                 for o in proof.deep_poly_openings
+                 if t < len(o.lde_trace_merkle_proofs)]),
             [o.lde_trace_merkle_proofs[t] for o in proof.deep_poly_openings
              if t < len(o.lde_trace_merkle_proofs)],
             [iota for iota, o in zip(challenges.iotas,
@@ -305,6 +306,8 @@ def verify(
     import time
 
     if len(proof.query_list) < proof_options.fri_number_of_queries:
+        return False
+    if len(proof.deep_poly_openings) < proof_options.fri_number_of_queries:
         return False
 
     transcript = transcript_factory()

@@ -91,3 +91,24 @@ def test_determinism_same_inputs_same_bytes(fib_proof):
     main_trace, pub_inputs, options, proof = fib_proof
     proof2 = generate_cairo_proof(main_trace, pub_inputs, options)
     assert serialize_proof(proof) == serialize_proof(proof2)
+
+
+def test_truncated_openings_rejected_not_crash(fib_proof):
+    """A proof with fewer deep_poly_openings / shorter auth paths than the
+    query count must be REJECTED, not raise (the batched native Merkle fold
+    requires regular batches; adversarial shapes take the safe path)."""
+    _, pub_inputs, options, proof = fib_proof
+    import copy
+
+    bad = copy.deepcopy(proof)
+    bad.deep_poly_openings = bad.deep_poly_openings[:-1]
+    assert not verify_cairo_proof(bad, pub_inputs, options)
+
+    bad2 = copy.deepcopy(proof)
+    bad2.query_list[0].layers_auth_paths[0] = (
+        bad2.query_list[0].layers_auth_paths[0][:-1])
+    assert not verify_cairo_proof(bad2, pub_inputs, options)
+
+    bad3 = copy.deepcopy(proof)
+    bad3.deep_poly_openings[0].lde_composition_poly_proof[0] = b"\x00" * 16
+    assert not verify_cairo_proof(bad3, pub_inputs, options)
