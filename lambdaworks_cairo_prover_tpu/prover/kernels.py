@@ -579,7 +579,7 @@ class ProverKernels:
         return _timed(f"fri_{domain_size}", self._jit_cache[key], coeffs,
                       zeta_arr, self.ntt_tables)
 
-    def fri_commit_chain(self, coeffs, state_words, plan):
+    def fri_commit_chain(self, coeffs, state_words, plan, final_fold=False):
         """The whole device part of the FRI commit phase as ONE jitted
         program: first-layer LDE + commit, then ``len(plan)`` folds whose
         zetas come from the Fiat-Shamir chain computed ON DEVICE
@@ -590,8 +590,13 @@ class ProverKernels:
         those round trips into one dispatch + one stacked-roots readback.
 
         plan: static tuple of (offset_int, domain_size) per fold layer.
-        Returns (roots (L+1, 8) u32, evals tuple, levels tuple, coeffs)."""
-        key = ("fri_chain", coeffs.shape, plan)
+        With ``final_fold`` the chain also performs the protocol's LAST fold
+        (one more device zeta after the final layer root) and appends the
+        resulting constant's raw limbs — reshaped (2, 8) — to the roots
+        array, so ``fri_last_value`` rides the same readback and the host
+        tail disappears entirely.
+        Returns (roots (L+1[+2], 8) u32, evals tuple, levels tuple, coeffs)."""
+        key = ("fri_chain", coeffs.shape, plan, final_fold)
         if key not in self._jit_cache:
             domain = self.domain
 
@@ -620,8 +625,21 @@ class ProverKernels:
                         roots.append(levels[-1][0])
                         evals_out.append(evals)
                         levels_out.append(levels)
-                return (jnp.stack(roots, axis=0), tuple(evals_out),
-                        tuple(levels_out), cs)
+                    out_rows = roots
+                    if final_fold:
+                        state_f = kd.hash_digest_pairs(
+                            jnp.stack([state, roots[-1]], axis=0)
+                        )[0]
+                        zeta = fd.to_mont(
+                            kd.digest_words_to_masked_limbs(state_f)
+                        )
+                        last = fd.add(cs[:, 0::2],
+                                      fd.mul(cs[:, 1::2], zeta))
+                        last_raw = fd.from_mont(last[:, :1])  # (16, 1)
+                        out_rows = roots + [last_raw.reshape(2, 8)]
+                return (jnp.concatenate(
+                            [r.reshape(-1, 8) for r in out_rows], axis=0),
+                        tuple(evals_out), tuple(levels_out), cs)
 
             self._jit_cache[key] = chain
         return _timed("fri_chain", self._jit_cache[key], coeffs, state_words,

@@ -63,6 +63,12 @@ class ProvingError(Exception):
 
 
 _HOST_FRI_THRESHOLD = 4096  # fold FRI layers of this size or less on host
+# LDE domains up to 2^this run EVERY FRI layer + the final fold inside the
+# device chain (fri_last_value rides the roots readback, no host tail); at
+# larger domains the single XLA program would grow past what the remote
+# compile helper digests quickly, so the tail stays on host.
+_FULL_CHAIN_MAX_LOG = int(__import__("os").environ.get(
+    "LCP_FULL_FRI_CHAIN_MAX_LOG", "16"))
 # Rationale: each device FRI layer costs a dispatch + a root transfer; over
 # a remote link those round-trips dominate the tail (the polynomial shrinks
 # geometrically).  With the native keccak library the host finishes all
@@ -285,26 +291,27 @@ def prove(
     z = _sample_z_ood(domain, transcript)
     z2 = z * z % P
 
-    # All round-3 evaluations dispatch asynchronously; sync the host only
-    # twice (one stacked readback for H-parts, one for the trace frame) —
-    # per-value readbacks cost a tunnel round trip each.
+    # All round-3 evaluations dispatch asynchronously; the host syncs ONCE
+    # on a stacked readback — per-value readbacks cost a tunnel round trip
+    # each.
     pw_z2 = nttc.offset_powers(z2, h1_coeffs.shape[-1])
     h1_dev = kern.eval_at_powers(h1_coeffs, pw_z2)
     h2_dev = kern.eval_at_powers(h2_coeffs, pw_z2)
-    h_both = fd.to_ints(
-        fetch_np(jnp.stack([h1_dev, h2_dev], axis=-1)).reshape(N_LIMBS, 2),
-        mont=False,
-    )
-    h1_z2, h2_z2 = h_both[0], h_both[1]
-
     ood_dev = []
     for k in offsets:
         point = z * pow(g, k, P) % P
         pw = nttc.offset_powers(point, n)
         ood_dev.append(kern.eval_at_powers(trace_polys, pw))  # (16, total_cols)
-    ood_flat = fd.to_ints(
-        fetch_np(jnp.stack(ood_dev, axis=1)).reshape(N_LIMBS, -1), mont=False
+    # ONE readback for all round-3 values: H1(z^2), H2(z^2) and the whole
+    # OOD trace frame (each fetch is a synchronous tunnel round trip)
+    r3_flat = fd.to_ints(
+        fetch_np(jnp.concatenate(
+            [jnp.stack([h1_dev, h2_dev], axis=1).reshape(N_LIMBS, 2)]
+            + [o.reshape(N_LIMBS, -1) for o in ood_dev], axis=1,
+        )), mont=False,
     )
+    h1_z2, h2_z2 = r3_flat[0], r3_flat[1]
+    ood_flat = r3_flat[2:]
     trace_ood_rows = [
         ood_flat[i * total_cols:(i + 1) * total_cols]
         for i in range(len(offsets))
@@ -350,13 +357,17 @@ def prove(
 
     # device-layer plan: folds whose (halved) domain stays above the
     # host-tail threshold — static, so the whole device part can run as one
-    # jitted chain with zetas computed on device (kern.fri_commit_chain)
+    # jitted chain with zetas computed on device (kern.fri_commit_chain).
+    # Small domains (every fold layer <= 2^_FULL_CHAIN_MAX_LOG) run ALL
+    # layers + the final fold on device: fri_last_value rides the roots
+    # readback and the host tail (its own coeffs readback) disappears.
+    full_chain = N <= (1 << _FULL_CHAIN_MAX_LOG)
     chain_plan = []
     off_p, ds_p = h, N
     for _ in range(1, number_layers):
         off_p = off_p * off_p % P
         ds_p //= 2
-        if ds_p <= _HOST_FRI_THRESHOLD:
+        if not full_chain and ds_p <= _HOST_FRI_THRESHOLD:
             break
         chain_plan.append((off_p, ds_p))
     buf = getattr(transcript, "_buf", None)
@@ -365,12 +376,13 @@ def prove(
     use_chain = (type(transcript) is DefaultTranscript and chain_plan
                  and buf is not None and len(buf) == 32
                  and getattr(kern, "supports_fri_chain", False))
+    full_chain = full_chain and use_chain and len(chain_plan) == number_layers - 1
     if use_chain:
         from ..hash.keccak_device import digest_to_bytes
 
         state0 = jnp.asarray(np.frombuffer(bytes(buf), dtype="<u4"))
         roots_dev, evals_t, levels_t, coeffs = kern.fri_commit_chain(
-            deep_coeffs, state0, tuple(chain_plan)
+            deep_coeffs, state0, tuple(chain_plan), final_fold=full_chain
         )
         roots_np = fetch_np(roots_dev)  # ONE readback for all layer roots
         ds = N
@@ -386,47 +398,58 @@ def prove(
             transcript.append(tree.root)
         start_layer = len(chain_plan) + 1
         offset_int, domain_size = chain_plan[-1]
+        if full_chain:
+            # the device already performed the final fold; replay the last
+            # zeta draw and read the constant off the roots array
+            transcript_to_field(transcript)
+            fri_last_value = fd.to_ints(
+                roots_np[-2:].reshape(16, 1).astype(np.uint32), mont=False
+            )[0]
+            transcript.append(fh.to_bytes_be(fri_last_value))
+            timings["round4_fri_commit"] = time.perf_counter() - t4b
+            host_coeffs = None
     else:
         evals0, levels0 = kern.fri_first_layer(deep_coeffs)
         tree0 = fetch_tree(levels0)
         fri_layers.append((evals0, tree0, N))
         transcript.append(tree0.root)
 
-    host_coeffs = None  # once small enough, fold/hash layers on host
-    for _ in range(start_layer, number_layers):
+    if not full_chain:
+        host_coeffs = None  # once small enough, fold/hash layers on host
+        for _ in range(start_layer, number_layers):
+            zeta = transcript_to_field(transcript)
+            offset_int = offset_int * offset_int % P
+            domain_size //= 2
+            if host_coeffs is None and domain_size <= _HOST_FRI_THRESHOLD:
+                host_coeffs = fd.to_ints(fetch_np(coeffs))
+            if host_coeffs is not None:
+                host_coeffs = _host_fold(host_coeffs, zeta)
+                evals = _host_evaluate_offset_fft(host_coeffs, domain_size,
+                                                  offset_int)
+                tree = _HostMerkle(keccak256_batch(
+                    [fh.to_bytes_be(v) for v in evals]))
+                fri_layers.append((evals, tree, domain_size))
+            else:
+                coeffs, evals, levels = kern.fri_fold_layer(
+                    coeffs, jnp.asarray(fd.from_int(zeta)), offset_int,
+                    domain_size
+                )
+                tree = fetch_tree(levels)
+                fri_layers.append((evals, tree, domain_size))
+            transcript.append(tree.root)
+
         zeta = transcript_to_field(transcript)
-        offset_int = offset_int * offset_int % P
-        domain_size //= 2
-        if host_coeffs is None and domain_size <= _HOST_FRI_THRESHOLD:
-            host_coeffs = fd.to_ints(fetch_np(coeffs))
-        if host_coeffs is not None:
-            host_coeffs = _host_fold(host_coeffs, zeta)
-            evals = _host_evaluate_offset_fft(host_coeffs, domain_size,
-                                              offset_int)
-            tree = _HostMerkle(keccak256_batch(
-                [fh.to_bytes_be(v) for v in evals]))
-            fri_layers.append((evals, tree, domain_size))
-        else:
-            coeffs, evals, levels = kern.fri_fold_layer(
-                coeffs, jnp.asarray(fd.from_int(zeta)), offset_int,
-                domain_size
-            )
-            tree = fetch_tree(levels)
-            fri_layers.append((evals, tree, domain_size))
-        transcript.append(tree.root)
+        # final fold on host: the remaining polynomial is tiny
+        last_coeffs = (host_coeffs if host_coeffs is not None
+                       else fd.to_ints(fetch_np(coeffs)))
+        folded_host = [
+            (last_coeffs[2 * i] + zeta * last_coeffs[2 * i + 1]) % P
+            for i in range(len(last_coeffs) // 2)
+        ]
+        fri_last_value = folded_host[0] if folded_host else 0
+        transcript.append(fh.to_bytes_be(fri_last_value))
 
-    zeta = transcript_to_field(transcript)
-    # final fold on host: the remaining polynomial is tiny
-    last_coeffs = (host_coeffs if host_coeffs is not None
-                   else fd.to_ints(fetch_np(coeffs)))
-    folded_host = [
-        (last_coeffs[2 * i] + zeta * last_coeffs[2 * i + 1]) % P
-        for i in range(len(last_coeffs) // 2)
-    ]
-    fri_last_value = folded_host[0] if folded_host else 0
-    transcript.append(fh.to_bytes_be(fri_last_value))
-
-    timings["round4_fri_commit"] = time.perf_counter() - t4b
+        timings["round4_fri_commit"] = time.perf_counter() - t4b
 
     # grinding (reference prover.rs:380-385)
     t4c = time.perf_counter()

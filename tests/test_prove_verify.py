@@ -53,20 +53,26 @@ def test_four_step_prover_path_bytes_identical(monkeypatch):
 
 
 def test_device_fri_chain_bytes_identical(monkeypatch):
-    """The single-program FRI commit chain (zetas computed on device via the
-    keccak transcript rule) must produce byte-identical proofs to the
-    per-layer host-synced path.  Production engages it when device layers
-    exist above the host-tail threshold; lowering the threshold exercises
-    it at test size."""
+    """All three FRI-commit execution strategies must produce byte-identical
+    proofs: (a) full device chain incl. final fold (production default at
+    N <= 2^_FULL_CHAIN_MAX_LOG), (b) partial chain + host tail, (c) no
+    chain at all (per-layer device folds + host tail)."""
     from lambdaworks_cairo_prover_tpu.proof.serde import serialize_proof
     from lambdaworks_cairo_prover_tpu.prover import prove as pv
 
     pub = FibonacciPublicInputs(a0=1, a1=1)
     options = ProofOptions.default_test_options()
-    baseline = serialize_proof(
+    full = serialize_proof(
         pv.prove(fibonacci_trace([1, 1], 128), pub, options, FibonacciAIR))
+
+    monkeypatch.setattr(pv, "_FULL_CHAIN_MAX_LOG", 0)
     monkeypatch.setattr(pv, "_HOST_FRI_THRESHOLD", 64)  # 2 device folds
-    proof = pv.prove(fibonacci_trace([1, 1], 128), pub, options,
-                     FibonacciAIR)
-    assert serialize_proof(proof) == baseline
-    assert verify(proof, pub, options, FibonacciAIR)
+    partial_proof = pv.prove(fibonacci_trace([1, 1], 128), pub, options,
+                             FibonacciAIR)
+    assert serialize_proof(partial_proof) == full
+
+    monkeypatch.setattr(pv, "_HOST_FRI_THRESHOLD", 1 << 20)  # chain disabled
+    nochain_proof = pv.prove(fibonacci_trace([1, 1], 128), pub, options,
+                             FibonacciAIR)
+    assert serialize_proof(nochain_proof) == full
+    assert verify(nochain_proof, pub, options, FibonacciAIR)
