@@ -93,6 +93,9 @@ class PublicInputs:
         if output_range is not None:
             for addr in output_range:
                 public_memory[addr] = memory.get(addr)
+        # Deterministic self-generated output: insertion order IS the wire
+        # order (serialize below), so construct sorted by address.
+        public_memory = dict(sorted(public_memory.items()))
         first = register_states.rows[0]
         last = register_states.rows[-1]
         return cls(
@@ -128,9 +131,12 @@ class PublicInputs:
             out.extend(rng.start.to_bytes(8, "big"))
             out.extend(rng.stop.to_bytes(8, "big"))
         out.extend(len(self.public_memory).to_bytes(8, "big"))
-        for addr in sorted(self.public_memory):
+        # Insertion order, NOT sorted: deserialize preserves file order, so a
+        # reference-produced file (HashMap order, air.rs:223-449) round-trips
+        # byte-exactly; self-generated inputs are sorted at construction.
+        for addr, value in self.public_memory.items():
             out.extend(fh.to_bytes_be(addr % P))
-            out.extend(fh.to_bytes_be(self.public_memory[addr] % P))
+            out.extend(fh.to_bytes_be(value % P))
         out.extend(self.num_steps.to_bytes(8, "big"))
         return bytes(out)
 

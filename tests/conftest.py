@@ -46,6 +46,45 @@ except Exception:
 # RERUN rather than a failure.  Runs on the xdist controller only.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Test tiers (reference analog: Makefile:38-46 test matrix).  `-m fast` runs
+# the value-level tier (field, ntt, hash, serde, decode, transcript, golden
+# oracle, VM) in minutes; `-m slow` runs the compile-heavy end-to-end proves.
+# ---------------------------------------------------------------------------
+
+_SLOW_MODULES = {
+    "test_builtin_prove",
+    "test_cairo1",
+    "test_cairo_prove",
+    "test_distributed_ntt",
+    "test_domain_sharded",
+    "test_examples",
+    "test_multiprocess",
+    "test_output_program",
+    "test_prove_verify",
+    "test_prover_errors",
+    "test_serde_roundtrip",
+    "test_sharded_prove",
+    "test_soundness",
+    "test_test_transcript",
+    "test_trace_attacks",
+    "test_trace_file_ingestion",
+}
+_SLOW_TESTS = {"test_hinted_program_proves"}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1] if item.module else ""
+        name = item.name.split("[")[0]
+        if mod in _SLOW_MODULES or name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
+
 _CRASH_RETRIES: dict[str, int] = {}
 
 
