@@ -1,22 +1,29 @@
-"""Benchmark driver: proves a Cairo fibonacci trace end-to-end on the
+"""Benchmark driver: proves the BASELINE.json workloads end-to-end on the
 available accelerator and prints ONE JSON line.
 
-Default config matches the reference's criterion_prover benchmark exactly
-(benches/criterion_prover.rs + options.rs:55-60): `Provable80Bits` =
-blowup 4, 80 FRI queries, grinding factor 20, coset offset 3.  The
-reference publishes no numbers (BASELINE.md), so vs_baseline stays 1.0
-until a measured Rust baseline exists.
+Headline metric = the north-star workload: Cairo0 fibonacci(70000), whose
+padded main trace is 2^19 rows — the exact trace_length (524288) carried by
+the reference's own golden proof benches/proofs/fibonacci_70000.proof and
+the criterion_prover_70k.rs:16-58 workload.  Config matches the reference's
+criterion benches (`Provable80Bits`, options.rs:55-60): blowup 4, 80 FRI
+queries, grinding 20, coset offset 3.  The reference publishes no numbers
+(BASELINE.md), so vs_baseline stays 1.0 until a measured Rust baseline
+exists.
 
-The single JSON line carries the three BASELINE.json metrics:
-  value            prover wall time (s) for the fib(N) Cairo0 workload
-  verifier_s       verifier wall time (s) on the produced proof
+The single JSON line carries every BASELINE.json metric:
+  value                     prover wall time (s), fib(70000) @ 2^19 rows
+  verifier_s                verifier wall time (s) on that proof
+  round_fractions           per-round time fractions (prover.rs:718-729 parity)
+  workloads                 secondary configs: fib500 (config 1), rc 2^16
+                            (config 3), cairo1 contract (config 4)
   ntt_points_per_sec_chip   forward-NTT throughput microbenchmark
-  proof_size_bytes serialized proof size
+  ntt_scaling               multi-device efficiency (None on 1-chip hosts)
 
-Env knobs: BENCH_WORKLOAD (fib | rc | cairo1, default fib), BENCH_FIB
-(default 500), BENCH_RC_LOG2 (default 16 — BASELINE config 3: range-check
-builtin trace padded to 2^16 rows), BENCH_QUERIES (80), BENCH_BLOWUP (4),
-BENCH_GRINDING (20), BENCH_NTT_LOG2 (20), BENCH_SKIP_NTT=1.
+Env knobs: BENCH_WORKLOAD (all | fib | rc | cairo1, default all; `fib`
+restricts to the two fib configs), BENCH_FIB (secondary fib size, default
+500), BENCH_FIB_MAIN (headline fib size, default 70000), BENCH_RC_LOG2
+(default 16), BENCH_QUERIES (80), BENCH_BLOWUP (4), BENCH_GRINDING (20),
+BENCH_NTT_LOG2 (20), BENCH_SKIP_NTT=1, BENCH_SKIP_SECONDARY=1.
 """
 
 import json
@@ -27,7 +34,14 @@ import time
 
 def _ntt_points_per_sec(log2n: int) -> float:
     """Forward-NTT throughput on a (16, n) limb tensor (BASELINE.md metric:
-    NTT points/sec/chip)."""
+    NTT points/sec/chip).
+
+    The tunneled axon backend costs ~25 ms per dispatch+readback round
+    trip, which would swamp the kernel; K data-dependent transforms are
+    chained inside ONE jitted program and the zero-iteration latency is
+    subtracted.
+    """
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -38,17 +52,28 @@ def _ntt_points_per_sec(log2n: int) -> float:
     n = 1 << log2n
     x = jnp.asarray(fd.from_ints([pow(3, i, P) for i in range(256)]))
     x = jnp.tile(x, (1, n // 256))
-    np.asarray(nttc.ntt(x)[:, :1])  # compile + warm
-    # NOTE: block_until_ready does NOT wait for completion on the tunneled
-    # axon platform; a tiny readback per rep forces real completion (device
-    # programs execute in launch order).
-    reps = 5
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(nttc.ntt(x)[:, :1])
-        times.append(time.perf_counter() - t0)
-    return n / min(times)
+
+    def make(k):
+        @jax.jit
+        def f(a):
+            for _ in range(k):
+                a = nttc.ntt(a)
+            return a[:, :1]
+        return lambda: f(x)
+
+    def timed(fn, reps=5):
+        np.asarray(fn())  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k = 4
+    t0 = timed(make(0))
+    tk = timed(make(k))
+    return n / max((tk - t0) / k, 1e-9)
 
 
 def _scaling_efficiency(log2n: int):
@@ -98,6 +123,33 @@ def _scaling_efficiency(log2n: int):
         "t_sharded_s": round(td, 5),
         "efficiency": round(t1 / (len(devs) * td), 4),
     }
+
+
+def _keccak_selfcheck() -> bool:
+    """Device keccak vs host keccak on one odd sub-tile batch — re-runs the
+    TPU-only corruption-workaround check (hash/keccak_device.py small-batch
+    pad) every bench round instead of only behind LCP_TPU_TESTS."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lambdaworks_cairo_prover_tpu.field import device as fd
+    from lambdaworks_cairo_prover_tpu.field.params import P
+    from lambdaworks_cairo_prover_tpu.hash import keccak_device as kd
+    from lambdaworks_cairo_prover_tpu.hash.keccak_host import keccak256
+
+    vals = [pow(7, i + 1, P) for i in range(7)]  # odd small batch
+    limbs = jnp.asarray(fd.from_ints(vals, mont=False))
+    got = np.asarray(kd.hash_felt_leaves(limbs))
+    want = [keccak256(v.to_bytes(32, "big")) for v in vals]
+    return all(kd.digest_to_bytes(g) == w for g, w in zip(got, want))
+
+
+def _fib_workload(n: int):
+    from lambdaworks_cairo_prover_tpu.cairo.programs import fibonacci_program
+    from lambdaworks_cairo_prover_tpu.cairo.runner import generate_prover_args
+
+    trace, pub = generate_prover_args(fibonacci_program(n))
+    return trace, pub, f"fib{n}"
 
 
 def _rc_workload(log2_rows: int):
@@ -161,18 +213,57 @@ def _cairo1_workload():
     return trace, pub, "cairo1_fib"
 
 
-def main():
-    fib_n = int(os.environ.get("BENCH_FIB", "500"))
-    workload = os.environ.get("BENCH_WORKLOAD", "fib")
-
+def _prove_workload(build, options):
+    """Build the trace, prove (compile+warm), verify, then time a second
+    prove and a verify.  Returns a per-workload result dict."""
     from lambdaworks_cairo_prover_tpu.cairo.air import (
         generate_cairo_proof,
         verify_cairo_proof,
     )
-    from lambdaworks_cairo_prover_tpu.cairo.programs import fibonacci_program
-    from lambdaworks_cairo_prover_tpu.cairo.runner import generate_prover_args
-    from lambdaworks_cairo_prover_tpu.proof.options import ProofOptions
     from lambdaworks_cairo_prover_tpu.proof.serde import serialize_proof
+
+    t0 = time.perf_counter()
+    main_trace, pub_inputs, tag = build()
+    trace_gen_s = time.perf_counter() - t0
+
+    # warmup (compiles)
+    proof = generate_cairo_proof(main_trace, pub_inputs, options)
+    if not verify_cairo_proof(proof, pub_inputs, options):
+        return {"tag": tag, "error": "verification failed"}
+
+    t0 = time.perf_counter()
+    proof2 = generate_cairo_proof(main_trace, pub_inputs, options)
+    prove_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    verify_cairo_proof(proof2, pub_inputs, options)
+    verify_s = time.perf_counter() - t0
+
+    timings = getattr(proof2, "_timings", {})
+    total = sum(v for k, v in timings.items() if k.startswith("round")
+                and k[5:6].isdigit() and len(k) == 6) or None
+    fractions = None
+    if total:
+        fractions = {k: round(timings[k] / total, 4)
+                     for k in ("round0", "round1", "round2", "round3",
+                               "round4") if k in timings}
+    return {
+        "tag": tag,
+        "value": round(prove_s, 4),
+        "verifier_s": round(verify_s, 4),
+        "proof_size_bytes": len(serialize_proof(proof2)),
+        "trace_rows": main_trace.n_rows,
+        "trace_gen_s": round(trace_gen_s, 4),
+        "round_fractions": fractions,
+    }
+
+
+def main():
+    workload = os.environ.get("BENCH_WORKLOAD", "all")
+    fib_main = int(os.environ.get("BENCH_FIB_MAIN", "70000"))
+    fib_small = int(os.environ.get("BENCH_FIB", "500"))
+
+    from lambdaworks_cairo_prover_tpu.proof.options import ProofOptions
 
     # reference bench config: Provable80Bits (options.rs:55-60)
     options = ProofOptions(
@@ -182,55 +273,82 @@ def main():
         grinding_factor=int(os.environ.get("BENCH_GRINDING", "20")),
     )
 
-    if workload == "rc":
-        main_trace, pub_inputs, tag = _rc_workload(
+    # headline first so a later workload failure can't lose it; secondary
+    # configs are optional extras recorded under "workloads"
+    if workload in ("all", "fib"):
+        headline = lambda: _fib_workload(fib_main)  # noqa: E731
+        secondary = [lambda: _fib_workload(fib_small)]
+        if workload == "all":
+            secondary += [
+                lambda: _rc_workload(int(os.environ.get("BENCH_RC_LOG2",
+                                                        "16"))),
+                _cairo1_workload,
+            ]
+    elif workload == "rc":
+        headline = lambda: _rc_workload(  # noqa: E731
             int(os.environ.get("BENCH_RC_LOG2", "16")))
+        secondary = []
     elif workload == "cairo1":
-        main_trace, pub_inputs, tag = _cairo1_workload()
+        headline = _cairo1_workload
+        secondary = []
     else:
-        main_trace, pub_inputs = generate_prover_args(
-            fibonacci_program(fib_n))
-        tag = f"fib{fib_n}"
+        print(json.dumps({"metric": "error", "value": -1, "unit": "s",
+                          "vs_baseline": 0.0,
+                          "error": f"unknown BENCH_WORKLOAD {workload}"}))
+        sys.exit(2)
 
-    # warmup (compiles)
-    proof = generate_cairo_proof(main_trace, pub_inputs, options)
-    ok = verify_cairo_proof(proof, pub_inputs, options)
-    if not ok:
-        print(json.dumps({"metric": "prover_fib_wall_time", "value": -1,
-                          "unit": "s", "vs_baseline": 0.0}))
+    if not _keccak_selfcheck():
+        print(json.dumps({"metric": "keccak_device_selfcheck", "value": -1,
+                          "unit": "s", "vs_baseline": 0.0,
+                          "error": "device keccak != host keccak"}))
         sys.exit(1)
 
-    t0 = time.perf_counter()
-    proof2 = generate_cairo_proof(main_trace, pub_inputs, options)
-    elapsed = time.perf_counter() - t0
-    if os.environ.get("LCP_DEBUG_KERNELS") == "1":
-        timings = getattr(proof2, "_timings", {})
-        print({k: round(v, 3) for k, v in timings.items()}, file=sys.stderr)
-
-    t0 = time.perf_counter()
-    verify_cairo_proof(proof2, pub_inputs, options)
-    verifier_elapsed = time.perf_counter() - t0
+    main_res = _prove_workload(headline, options)
+    if "error" in main_res:
+        print(json.dumps({"metric": f"prover_cairo_{main_res['tag']}",
+                          "value": -1, "unit": "s", "vs_baseline": 0.0,
+                          "error": main_res["error"]}))
+        sys.exit(1)
 
     result = {
-        "metric": (f"prover_cairo_{tag}_wall_time_"
+        "metric": (f"prover_cairo_{main_res['tag']}_wall_time_"
                    f"{options.fri_number_of_queries}q_"
                    f"g{options.grinding_factor}"),
-        "value": round(elapsed, 4),
+        "value": main_res["value"],
         "unit": "s",
         "vs_baseline": 1.0,
-        "verifier_s": round(verifier_elapsed, 4),
-        "proof_size_bytes": len(serialize_proof(proof2)),
-        "trace_rows": main_trace.n_rows,
+        "verifier_s": main_res["verifier_s"],
+        "proof_size_bytes": main_res["proof_size_bytes"],
+        "trace_rows": main_res["trace_rows"],
+        "trace_gen_s": main_res["trace_gen_s"],
+        "round_fractions": main_res["round_fractions"],
         "queries": options.fri_number_of_queries,
         "grinding_factor": options.grinding_factor,
     }
+
+    if os.environ.get("BENCH_SKIP_SECONDARY") != "1":
+        extras = {}
+        for build in secondary:
+            try:
+                res = _prove_workload(build, options)
+                extras[res.pop("tag")] = res
+            except Exception as e:  # record, never lose the headline
+                extras[f"failed_{len(extras)}"] = {
+                    "error": f"{type(e).__name__}: {e}"}
+        if extras:
+            result["workloads"] = extras
+
     if os.environ.get("BENCH_SKIP_NTT") != "1":
         log2n = int(os.environ.get("BENCH_NTT_LOG2", "20"))
-        result["ntt_points_per_sec_chip"] = round(_ntt_points_per_sec(log2n))
-        result["ntt_log2_size"] = log2n
-        scaling = _scaling_efficiency(log2n)
-        if scaling is not None:
-            result["ntt_scaling"] = scaling
+        try:
+            result["ntt_points_per_sec_chip"] = round(
+                _ntt_points_per_sec(log2n))
+            result["ntt_log2_size"] = log2n
+            scaling = _scaling_efficiency(log2n)
+            if scaling is not None:
+                result["ntt_scaling"] = scaling
+        except Exception as e:
+            result["ntt_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(result))
 
