@@ -195,6 +195,12 @@ def _ntt_four_impl(x, twr, twc, tbl, log_n: int):
 
 
 def _ntt_dispatch(x, log_n: int, inverse: bool):
+    from . import fused as fused_mod
+
+    if log_n >= fused_mod.FUSED_MIN_LOG and fused_mod.enabled():
+        # fused-stage Pallas path: whole transform in ~(stages/2 + 1) HBM
+        # passes (2.9x the stage-loop at 2^20 on a v5e; see ntt/fused.py)
+        return fused_mod.ntt_fused(x, log_n, inverse)
     if log_n >= FOUR_STEP_MIN_LOG:
         logr, logc = four_factors(log_n)
         return _ntt_four_impl(

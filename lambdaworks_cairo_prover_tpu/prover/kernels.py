@@ -176,6 +176,11 @@ class ProverKernels:
         def add_tw(log, inv):
             if log < 1:
                 return
+            if log >= fused_ntt.FUSED_MIN_LOG and fused_ntt.enabled():
+                # fused-stage Pallas path takes (local, global-stages) tables
+                ntt_tables[("fused", log, inv)] = fused_ntt.fused_tables(
+                    log, inv)
+                return
             if log >= nttc.FOUR_STEP_MIN_LOG:
                 # large transforms run the four-step plan: inject its factor
                 # twiddles + inter table instead of 2^log stage twiddles
