@@ -30,10 +30,31 @@ class TraceTable:
 
     @classmethod
     def from_int_columns(cls, cols: list[list[int]]) -> "TraceTable":
+        """Vectorized ingest: most trace columns (registers, addresses,
+        offsets, flags, instructions) fit u64 and limb-split in numpy;
+        arbitrary-felt columns take the bytes path; the Montgomery
+        conversion runs as ONE device multiply by R^2 instead of a
+        per-value host bigint mulmod (which dominated trace generation —
+        27 s of a 33 s fib(10000) build)."""
+        import jax
+
         n_rows = len(cols[0])
-        flat = [v for col in cols for v in col]
-        arr = fd.from_ints(flat)  # (16, n_cols*n_rows)
-        return cls(jnp.asarray(arr.reshape(N_LIMBS, len(cols), n_rows)))
+        n_cols = len(cols)
+        raw = np.zeros((N_LIMBS, n_cols, n_rows), dtype=np.uint32)
+        for c, col in enumerate(cols):
+            try:
+                a = np.asarray(col, dtype=np.uint64)
+            except (OverflowError, TypeError):
+                a = None
+            if a is not None:
+                for k in range(4):
+                    raw[k, c] = (a >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+            else:
+                buf = b"".join(v.to_bytes(32, "little") for v in col)
+                limbs = np.frombuffer(buf, dtype="<u2").reshape(n_rows,
+                                                                N_LIMBS)
+                raw[:, c, :] = limbs.T
+        return cls(jax.jit(fd.to_mont)(jnp.asarray(raw)))
 
     @classmethod
     def from_columns(cls, cols: list[jnp.ndarray]) -> "TraceTable":

@@ -17,9 +17,10 @@ from ..field import host as fh
 from ..field.params import P
 from .cairo_mem import CairoMemory
 from .decode import (
-    InstructionFlags, InstructionOffsets, OP1_SRC_AP, OP1_SRC_FP, OP1_SRC_IMM,
-    OP1_SRC_OP0, OPCODE_ASSERT_EQ, OPCODE_CALL, PC_JNZ, RES_ADD, RES_MUL,
-    RES_OP1,
+    AP_UPDATE_OFF, InstructionDecodingError, InstructionFlags,
+    InstructionOffsets, OP1_SRC_AP, OP1_SRC_FP, OP1_SRC_IMM, OP1_SRC_OFF,
+    OP1_SRC_OP0, OPCODE_ASSERT_EQ, OPCODE_CALL, OPCODE_OFF, PC_JNZ,
+    PC_UPDATE_OFF, RES_ADD, RES_LOGIC_OFF, RES_MUL, RES_OP1,
 )
 from .register_states import RegisterStates
 
@@ -50,47 +51,139 @@ MEMORY_COLUMNS = [
 ]
 
 
+def _batch_inv_mod_p(vals: list[int]) -> list[int]:
+    """Montgomery-trick batch inverse on host: one modular exponentiation
+    for the whole batch instead of one per element (zeros map to zero,
+    matching the jnz dst^-1 convention)."""
+    nz_idx = [i for i, v in enumerate(vals) if v != 0]
+    acc = 1
+    prefix = []
+    for i in nz_idx:
+        acc = acc * vals[i] % P
+        prefix.append(acc)
+    inv = pow(acc, P - 2, P) if nz_idx else 1
+    out = [0] * len(vals)
+    for j in range(len(nz_idx) - 1, -1, -1):
+        i = nz_idx[j]
+        out[i] = inv * (prefix[j - 1] if j else 1) % P
+        inv = inv * vals[i] % P
+    return out
+
+
 def build_cairo_execution_trace(
     raw_trace: RegisterStates, memory: CairoMemory, public_inputs
 ) -> list[list[int]]:
-    """Returns trace as a list of int columns (33/34 cols x n_steps)."""
+    """Returns trace as a list of int columns (33/34 cols x n_steps).
+
+    Vectorized over steps: registers/instructions/addresses are u64 numpy
+    bit math (reference does this per step, execution_trace.rs:261-356);
+    only the felt-valued arithmetic (res/t0/t1/mul and memory values) runs
+    as host bigints, with the jnz inverses batched into one exponentiation."""
+    import numpy as np
+
     n = raw_trace.steps
     rows = raw_trace.rows
 
-    flags = []
-    offsets = []
-    for r in rows:
-        inst = memory.get(r.pc)
+    pcs_l = [r.pc for r in rows]
+    instructions = [memory.get(p) for p in pcs_l]
+    for p, inst in zip(pcs_l, instructions):
         if inst is None:
-            raise ValueError(f"no instruction at pc {r.pc}")
-        flags.append(InstructionFlags.decode(inst))
-        offsets.append(InstructionOffsets.decode(inst))
+            raise ValueError(f"no instruction at pc {p}")
+    pc_arr = np.asarray(pcs_l, dtype=np.uint64)
+    ap_arr = np.asarray([r.ap for r in rows], dtype=np.uint64)
+    fp_arr = np.asarray([r.fp for r in rows], dtype=np.uint64)
+    inst_arr = np.asarray(instructions, dtype=np.uint64)
 
-    dst_addrs, dsts = _compute_dst(flags, offsets, rows, memory)
-    op0_addrs, op0s = _compute_op0(flags, offsets, rows, memory)
-    op1_addrs, op1s = _compute_op1(flags, offsets, rows, memory, op0s)
-    res = _compute_res(flags, op0s, op1s, dsts)
+    # ---- flag decode + validation (decode.py semantics, vectorized) ----
+    flags_f = inst_arr >> np.uint64(48)
+    if (flags_f >> np.uint64(15)).any():
+        raise InstructionDecodingError("instruction flags exceed 15 bits")
+
+    def group(off, mask):
+        return (flags_f >> np.uint64(off)) & np.uint64(mask)
+
+    op1_src = group(OP1_SRC_OFF, 0b111)
+    res_logic = group(RES_LOGIC_OFF, 0b11)
+    pc_update = group(PC_UPDATE_OFF, 0b111)
+    ap_update = group(AP_UPDATE_OFF, 0b11)
+    opcode = group(OPCODE_OFF, 0b111)
+    for name, arr, valid in (
+        ("op1_src", op1_src, (0, 1, 2, 4)),
+        ("res_logic", res_logic, (0, 1, 2)),
+        ("pc_update", pc_update, (0, 1, 2, 4)),
+        ("ap_update", ap_update, (0, 1, 2)),
+        ("opcode", opcode, (0, 1, 2, 4)),
+    ):
+        if not np.isin(arr, np.asarray(valid, dtype=np.uint64)).all():
+            raise InstructionDecodingError(f"invalid {name}")
+
+    flag_cols = [((flags_f >> np.uint64(j)) & np.uint64(1)).tolist()
+                 for j in range(16)]
+
+    # ---- offsets: biased raw == unbiased trace representation ----
+    od_raw = inst_arr & np.uint64(0xFFFF)
+    oo_raw = (inst_arr >> np.uint64(16)) & np.uint64(0xFFFF)
+    o1_raw = (inst_arr >> np.uint64(32)) & np.uint64(0xFFFF)
+    off_cols = [od_raw.tolist(), oo_raw.tolist(), o1_raw.tolist()]
+    od_s = od_raw.astype(np.int64) - (1 << 15)
+    oo_s = oo_raw.astype(np.int64) - (1 << 15)
+    o1_s = o1_raw.astype(np.int64) - (1 << 15)
+
+    # ---- operand addresses + memory values ----
+    dst_reg = (flags_f & np.uint64(1)).astype(bool)
+    op0_reg = ((flags_f >> np.uint64(1)) & np.uint64(1)).astype(bool)
+    dst_addr = np.where(dst_reg, fp_arr, ap_arr).astype(np.int64) + od_s
+    op0_addr = np.where(op0_reg, fp_arr, ap_arr).astype(np.int64) + oo_s
+    dst_addrs = dst_addr.tolist()
+    op0_addrs = op0_addr.tolist()
+    dsts = [memory.get(a) for a in dst_addrs]
+    op0s = [memory.get(a) for a in op0_addrs]
+
+    # op1 base: op0-value rows involve felt arithmetic -> per-row path
+    op1_base = np.where(
+        op1_src == OP1_SRC_IMM, pc_arr,
+        np.where(op1_src == OP1_SRC_AP, ap_arr, fp_arr),
+    ).astype(np.int64)
+    op1_addr_v = op1_base + o1_s
+    op1_addrs = op1_addr_v.tolist()
+    op0_rows = np.flatnonzero(op1_src == OP1_SRC_OP0)
+    for i in op0_rows.tolist():
+        op1_addrs[i] = (op0s[i] + int(o1_s[i])) % P
+    op1s = [memory.get(a) for a in op1_addrs]
+
+    # ---- res (opcode semantics incl. jnz dst^-1, batched inverse) ----
+    res = list(op1s)  # RES_OP1 default
+    add_rows = np.flatnonzero(res_logic == RES_ADD)
+    for i in add_rows.tolist():
+        res[i] = (op0s[i] + op1s[i]) % P
+    mul_rows = np.flatnonzero(res_logic == RES_MUL)
+    for i in mul_rows.tolist():
+        res[i] = op0s[i] * op1s[i] % P
+    jnz_rows = np.flatnonzero(pc_update == PC_JNZ).tolist()
+    if jnz_rows:
+        inv = _batch_inv_mod_p([dsts[i] for i in jnz_rows])
+        for j, i in enumerate(jnz_rows):
+            res[i] = inv[j]
 
     # update op0/dst/res for call and assert_eq (execution_trace.rs:570-592)
-    for i, f in enumerate(flags):
-        if f.opcode == OPCODE_CALL:
-            instruction_size = 2 if f.op1_src == OP1_SRC_IMM else 1
-            op0s[i] = (rows[i].pc + instruction_size) % P
-            dsts[i] = rows[i].fp % P
-        elif f.opcode == OPCODE_ASSERT_EQ:
-            res[i] = dsts[i]
+    call_rows = np.flatnonzero(opcode == OPCODE_CALL)
+    inst_size = np.where(op1_src == OP1_SRC_IMM, 2, 1)
+    for i in call_rows.tolist():
+        op0s[i] = (int(pc_arr[i]) + int(inst_size[i])) % P
+        dsts[i] = int(fp_arr[i]) % P
+    for i in np.flatnonzero(opcode == OPCODE_ASSERT_EQ).tolist():
+        res[i] = dsts[i]
 
-    flag_cols = [[f.to_trace_representation()[j] for f in flags] for j in range(16)]
-    offset_reprs = [o.to_trace_representation() for o in offsets]
-    off_cols = [[o[j] for o in offset_reprs] for j in range(3)]
+    aps = ap_arr.tolist()
+    fps = fp_arr.tolist()
+    pcs = pcs_l
 
-    aps = [r.ap % P for r in rows]
-    fps = [r.fp % P for r in rows]
-    pcs = [r.pc % P for r in rows]
-    instructions = [memory.get(r.pc) for r in rows]
-
-    t0 = [flag_cols[9][i] * dsts[i] % P for i in range(n)]
-    t1 = [t0[i] * res[i] % P for i in range(n)]
+    # t0 = f_jnz * dst, t1 = t0 * res: nonzero only on jnz rows
+    t0 = [0] * n
+    t1 = [0] * n
+    for i in jnz_rows:
+        t0[i] = dsts[i]
+        t1[i] = dsts[i] * res[i] % P
     mul = [op0s[i] * op1s[i] % P for i in range(n)]
     selector = [1] * (n - 1) + [0]
 
@@ -107,62 +200,6 @@ def build_cairo_execution_trace(
         _add_rc_builtin_columns(trace_cols, rc_range, memory)
 
     return trace_cols
-
-
-def _compute_dst(flags, offsets, rows, memory):
-    addrs, vals = [], []
-    for f, o, r in zip(flags, offsets, rows):
-        base = r.fp if f.dst_reg else r.ap
-        addr = base + o.off_dst
-        addrs.append(addr % P)
-        vals.append(memory.get(addr))
-    return addrs, vals
-
-
-def _compute_op0(flags, offsets, rows, memory):
-    addrs, vals = [], []
-    for f, o, r in zip(flags, offsets, rows):
-        base = r.fp if f.op0_reg else r.ap
-        addr = base + o.off_op0
-        addrs.append(addr % P)
-        vals.append(memory.get(addr))
-    return addrs, vals
-
-
-def _compute_op1(flags, offsets, rows, memory, op0s):
-    addrs, vals = [], []
-    for f, o, r, op0 in zip(flags, offsets, rows, op0s):
-        if f.op1_src == OP1_SRC_OP0:
-            base = op0
-        elif f.op1_src == OP1_SRC_IMM:
-            base = r.pc
-        elif f.op1_src == OP1_SRC_AP:
-            base = r.ap
-        elif f.op1_src == OP1_SRC_FP:
-            base = r.fp
-        else:
-            raise ValueError("invalid op1_src")
-        addr = base + o.off_op1
-        addrs.append(addr % P)
-        vals.append(memory.get(addr))
-    return addrs, vals
-
-
-def _compute_res(flags, op0s, op1s, dsts):
-    res = []
-    for f, op0, op1, dst in zip(flags, op0s, op1s, dsts):
-        if f.pc_update == PC_JNZ:
-            # res slot holds dst^-1 (whitepaper section 9.5)
-            res.append(0 if dst == 0 else pow(dst, P - 2, P))
-        elif f.res_logic == RES_OP1:
-            res.append(op1)
-        elif f.res_logic == RES_ADD:
-            res.append((op0 + op1) % P)
-        elif f.res_logic == RES_MUL:
-            res.append(op0 * op1 % P)
-        else:
-            raise ValueError("invalid res_logic")
-    return res
 
 
 def _add_rc_builtin_columns(trace_cols, rc_range, memory):

@@ -75,6 +75,28 @@ def ones(shape=()) -> jnp.ndarray:
 
 _P_ARR = np.array(P_LIMBS, dtype=np.uint32)
 
+
+# ---------------------------------------------------------------------------
+# Packed at-rest representation: two 16-bit limbs per u32 lane.
+#
+# Large resident tensors (the LDE trace, trace polys) halve their HBM
+# footprint by storing limb pairs packed; compute kernels unpack the chunk
+# they touch (two cheap elementwise ops that XLA fuses into the consumer).
+# Lossless because canonical limbs are always < 2^16.
+# ---------------------------------------------------------------------------
+
+
+def pack(a: jnp.ndarray) -> jnp.ndarray:
+    """(16, ...) 16-bit limbs -> (8, ...) u32 with limb pairs packed."""
+    return a[0::2] | (a[1::2] << 16)
+
+
+def unpack(p: jnp.ndarray) -> jnp.ndarray:
+    """(8, ...) packed -> (16, ...) 16-bit limbs."""
+    lo = p & MASK
+    hi = p >> 16
+    return jnp.stack([lo, hi], axis=1).reshape((N_LIMBS,) + p.shape[1:])
+
 # ---------------------------------------------------------------------------
 # Core limb arithmetic
 # ---------------------------------------------------------------------------

@@ -198,8 +198,10 @@ def _ntt_dispatch(x, log_n: int, inverse: bool):
     from . import fused as fused_mod
 
     if log_n >= fused_mod.FUSED_MIN_LOG and fused_mod.enabled():
-        # fused-stage Pallas path: whole transform in ~(stages/2 + 1) HBM
-        # passes (2.9x the stage-loop at 2^20 on a v5e; see ntt/fused.py)
+        # opt-in fused-stage Pallas path.  Measured v5e (tools/bench_fused.py):
+        #   2^17: 132.6 Mpts/s vs four-step 120.6 (1.10x)
+        #   2^19: 104.0 Mpts/s vs four-step 120.5 (0.86x)
+        # so the default stays the four-step dispatch below.
         return fused_mod.ntt_fused(x, log_n, inverse)
     if log_n >= FOUR_STEP_MIN_LOG:
         logr, logc = four_factors(log_n)

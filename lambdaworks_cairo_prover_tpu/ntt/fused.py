@@ -60,12 +60,18 @@ _LANE_LOG = 7            # stages with m < 128 pair within a lane row
 
 
 def enabled() -> bool:
-    """Fused path is on when the Pallas field kernels are (real TPU, or
-    forced for tests).  `LCP_FUSED_NTT=0/1` overrides."""
+    """Fused path is OPT-IN (`LCP_FUSED_NTT=1`).
+
+    Measured on a real v5e (tools/bench_fused.py, round-3 review): the
+    four-step path sustains ~120 Mpts/s at both 2^17 and 2^19; the fused
+    path reaches 132.6 Mpts/s at 2^17 (1.10x) but drops to 104.0 Mpts/s at
+    2^19 (0.86x) — the global-stage kernels lose to the four-step plan at
+    exactly the sizes the prover cares about, so it stays off by default
+    until it wins there."""
     env = os.environ.get("LCP_FUSED_NTT")
     if env is not None:
         return env == "1"
-    return fd._pallas_enabled()
+    return False
 
 
 # ---------------------------------------------------------------------------

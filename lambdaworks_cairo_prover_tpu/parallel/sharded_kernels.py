@@ -64,6 +64,12 @@ class ShardedProverKernels(ProverKernels):
     """Same interface as ProverKernels; the domain axis lives on a mesh."""
 
     supports_fri_chain = False  # FRI layers fold via ShardedNTT per layer
+    # sharded tensors stay in the unpacked 16-limb layout ShardedNTT
+    # expects; per-device HBM scales down with mesh size instead
+    packed_resident = False
+
+    def gather_columns(self, lde_evals, idxs):
+        return jnp.take(lde_evals, jnp.asarray(idxs), axis=-1)
 
     def __init__(self, air, domain, mesh, axis: str | None = None):
         if axis is None:

@@ -32,6 +32,7 @@ from ..field import device as fd
 from ..field.params import N_LIMBS, P
 from ..hash import keccak_device as kd
 from ..ntt import core as nttc
+from ..ntt import fused as fused_ntt
 
 
 _LEAF_CHUNK = 1 << 15  # rows per leaf-hash kernel call (HBM headroom)
@@ -78,6 +79,13 @@ class ProverKernels:
     # injected single-chip NTT tables; the sharded kernels transform via
     # ShardedNTT instead and keep the per-layer path
     supports_fri_chain = True
+
+    # resident trace polys / LDE live PACKED (two 16-bit limbs per u32,
+    # fd.pack) in caller-preallocated buffers filled by donated in-place
+    # updates — at 2^19 rows x 61 cols the unpacked LDE alone is 8 GB and
+    # the old pieces-then-concatenate pattern held it twice, OOMing the
+    # 16 GB v5e on the reference's flagship fib(70000) workload
+    packed_resident = True
 
     def __init__(self, air, domain):
         self.air = air
@@ -217,13 +225,55 @@ class ProverKernels:
     # round 1: interpolate columns, LDE, leaf/tree hash
     # ------------------------------------------------------------------
 
-    def interpolate_commit(self, trace_data):
-        """Split into small XLA programs (interpolate+LDE per column chunk,
-        leaf hash per row chunk, tree) so remote compiles stay fast and the
-        NTT working set fits HBM at large domains."""
+    def _col_chunk(self) -> int:
+        # the four-step NTT's transient working set scales with cols x N;
+        # halve the column chunk at the largest domains so the per-chunk
+        # transposes fit alongside the packed resident buffers
+        if self.domain.lde_size >= 1 << 21:
+            return max(1, _COL_CHUNK // 2)
+        return _COL_CHUNK
+
+    def alloc_buffers(self, total_cols: int):
+        """Packed (8, total_cols, n | N) zero buffers that successive
+        interpolate_commit calls (main trace, then aux trace) fill in place
+        via donated updates — no pieces list, no concatenate, one resident
+        copy of polys + LDE at half the unpacked width."""
+        n = self.air.trace_length()
+        N = self.domain.lde_size
+        return (
+            jnp.zeros((N_LIMBS // 2, total_cols, n), dtype=jnp.uint32),
+            jnp.zeros((N_LIMBS // 2, total_cols, N), dtype=jnp.uint32),
+        )
+
+    def _updater(self, buf_shape, piece_shape):
+        ukey = ("r1_upd", buf_shape, piece_shape)
+        if ukey not in self._jit_cache:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def upd(buf, piece, start):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, piece, start, axis=1)
+
+            self._jit_cache[ukey] = upd
+        return self._jit_cache[ukey]
+
+    def interpolate_commit(self, trace_data, bufs=None, col_start: int = 0):
+        """Interpolate + LDE the columns of ``trace_data`` into the packed
+        buffers at column offset ``col_start`` and Merkle-commit THIS call's
+        columns.  Split into small XLA programs (interpolate+LDE per column
+        chunk, leaf hash per row chunk, tree) so remote compiles stay fast
+        and the NTT working set fits HBM at large domains.
+
+        Returns (polys_buf, lde_buf, levels); the input ``bufs`` handles are
+        consumed (donated).  With ``bufs=None`` a right-sized buffer pair is
+        allocated for just these columns."""
         n_cols = trace_data.shape[1]
-        col_chunk = min(n_cols, _COL_CHUNK)
-        key = ("r1_poly", trace_data.shape[0], col_chunk, trace_data.shape[2])
+        if bufs is None:
+            bufs = self.alloc_buffers(n_cols)
+            col_start = 0
+        polys_buf, lde_buf = bufs
+        col_chunk = min(n_cols, self._col_chunk())
+        key = ("r1_poly", col_chunk, trace_data.shape[2])
         if key not in self._jit_cache:
             domain = self.domain
 
@@ -235,64 +285,85 @@ class ProverKernels:
                         polys, domain.blowup_factor,
                         domain.interpolation_domain_size, domain.coset_offset,
                     )
-                return polys, lde
+                return fd.pack(polys), fd.pack(lde)
+
+            self._jit_cache[key] = r1_poly
+        r1_poly = self._jit_cache[key]
+
+        # column-chunked transform (columns are independent; pad to a
+        # multiple of the chunk so one compiled shape serves all chunks),
+        # each chunk written straight into the packed buffers
+        t0 = time.perf_counter()
+        pad_cols = (-n_cols) % col_chunk
+        data = trace_data
+        if pad_cols:
+            data = jnp.concatenate(
+                [data, jnp.zeros((N_LIMBS, pad_cols, data.shape[2]),
+                                 dtype=data.dtype)], axis=1
+            )
+        n_chunks = data.shape[1] // col_chunk
+        for c in range(n_chunks):
+            pp, ll = r1_poly(
+                jax.lax.slice_in_dim(data, c * col_chunk,
+                                     (c + 1) * col_chunk, axis=1),
+                self.ntt_tables,
+            )
+            valid = min(col_chunk, n_cols - c * col_chunk)
+            if valid < col_chunk:  # zero-padded tail: write only real cols
+                pp = jax.lax.slice_in_dim(pp, 0, valid, axis=1)
+                ll = jax.lax.slice_in_dim(ll, 0, valid, axis=1)
+            start = jnp.int32(col_start + c * col_chunk)
+            polys_buf = self._updater(polys_buf.shape, pp.shape)(
+                polys_buf, pp, start)
+            lde_buf = self._updater(lde_buf.shape, ll.shape)(
+                lde_buf, ll, start)
+        if _DEBUG:
+            jax.block_until_ready(lde_buf)
+            print(f"[kernel r1_poly x{n_chunks}] "
+                  f"{time.perf_counter() - t0:.2f}s", flush=True)
+        # leaf hashing in chunks: the limb->bytes expansion peaks at ~50x the
+        # row bytes, which OOMs HBM if done over the whole domain at once
+        N = lde_buf.shape[2]
+        chunk = min(N, _LEAF_CHUNK)
+        lkey = ("r1_leaves", lde_buf.shape, col_start, n_cols, chunk)
+        if lkey not in self._jit_cache:
 
             @jax.jit
-            def r1_leaves(lde_chunk):
-                rows = fd.from_mont(jnp.moveaxis(lde_chunk, 1, 2))
+            def r1_leaves(row_chunk):
+                cols = jax.lax.slice_in_dim(row_chunk, col_start,
+                                            col_start + n_cols, axis=1)
+                rows = fd.from_mont(jnp.moveaxis(fd.unpack(cols), 1, 2))
                 return kd.hash_felt_rows(rows, rows.shape[2])
 
             @jax.jit
             def r1_tree(leaves):
                 return _tree_levels(leaves)
 
-            self._jit_cache[key] = (r1_poly, r1_leaves, r1_tree)
-        r1_poly, r1_leaves, r1_tree = self._jit_cache[key]
-
-        # column-chunked transform (columns are independent; pad to a
-        # multiple of the chunk so one compiled shape serves all chunks)
-        t0 = time.perf_counter()
-        if n_cols <= col_chunk:
-            polys, lde = r1_poly(trace_data, self.ntt_tables)
-            n_chunks = 1
-        else:
-            pad_cols = (-n_cols) % col_chunk
-            data = trace_data
-            if pad_cols:
-                data = jnp.concatenate(
-                    [data, jnp.zeros((16, pad_cols, data.shape[2]),
-                                     dtype=data.dtype)], axis=1
-                )
-            piece_p, piece_l = [], []
-            n_chunks = data.shape[1] // col_chunk
-            for c in range(n_chunks):
-                pp, ll = r1_poly(
-                    jax.lax.slice_in_dim(data, c * col_chunk,
-                                         (c + 1) * col_chunk, axis=1),
-                    self.ntt_tables,
-                )
-                piece_p.append(pp)
-                piece_l.append(ll)
-            polys = jnp.concatenate(piece_p, axis=1)[:, :n_cols]
-            lde = jnp.concatenate(piece_l, axis=1)[:, :n_cols]
-        if _DEBUG:
-            jax.block_until_ready(lde)
-            print(f"[kernel r1_poly x{n_chunks}] "
-                  f"{time.perf_counter() - t0:.2f}s", flush=True)
-        # leaf hashing in chunks: the limb->bytes expansion peaks at ~50x the
-        # row bytes, which OOMs HBM if done over the whole domain at once
-        N = lde.shape[2]
-        chunk = min(N, _LEAF_CHUNK)
+            self._jit_cache[lkey] = (r1_leaves, r1_tree)
+        r1_leaves, r1_tree = self._jit_cache[lkey]
         if N <= chunk:
-            leaves = _timed("r1_leaves", r1_leaves, lde)
+            leaves = _timed("r1_leaves", r1_leaves, lde_buf)
         else:
             parts = [
-                r1_leaves(jax.lax.slice_in_dim(lde, i, i + chunk, axis=2))
+                r1_leaves(jax.lax.slice_in_dim(lde_buf, i, i + chunk, axis=2))
                 for i in range(0, N, chunk)
             ]
             leaves = jnp.concatenate(parts, axis=0)
         levels = _timed("r1_tree", r1_tree, leaves)
-        return polys, lde, levels
+        return polys_buf, lde_buf, levels
+
+    def gather_columns(self, lde_evals, idxs):
+        """All-column openings at the query indices: (16, cols, len(idxs))
+        unpacked limbs out of the packed resident LDE."""
+        key = ("qgather", lde_evals.shape, len(idxs))
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def g(src, ix):
+                return fd.unpack(jnp.take(src, ix, axis=-1))
+
+            self._jit_cache[key] = g
+        return self._jit_cache[key](lde_evals, jnp.asarray(idxs))
 
     # ------------------------------------------------------------------
     # round 2: whole-domain constraint evaluation + H + commit
@@ -331,10 +402,19 @@ class ProverKernels:
                            + [f"bz_inv_{st}" for st in self.distinct_steps])
 
             @jax.jit
-            def r2_eval_chunk(lde_ext, b_ab, t_ab, b_vals, rap, tables, start):
-                # slice this chunk (+halo for the frame) and its table rows
-                lde_c = jax.lax.dynamic_slice_in_dim(lde_ext, start,
-                                                     chunk + halo, axis=2)
+            def r2_eval_chunk(lde_p, b_ab, t_ab, b_vals, rap, tables, start,
+                              wrap_start):
+                # this chunk + its frame halo out of the PACKED resident
+                # LDE: the halo rows live at the NEXT chunk boundary
+                # ((start+chunk) mod N — always in-bounds), so wraparound
+                # needs no extended copy of the whole LDE
+                main_p = jax.lax.dynamic_slice_in_dim(lde_p, start, chunk,
+                                                      axis=2)
+                if halo:
+                    halo_p = jax.lax.dynamic_slice_in_dim(
+                        lde_p, wrap_start, halo, axis=2)
+                    main_p = jnp.concatenate([main_p, halo_p], axis=2)
+                lde_c = fd.unpack(main_p)
                 tc = {
                     name: jax.lax.dynamic_slice_in_dim(tables[name], start,
                                                        chunk, axis=1)
@@ -412,15 +492,15 @@ class ProverKernels:
 
             self._jit_cache[key3] = r2_commit
 
-        # wraparound halo then chunked evaluation
-        ext = jnp.concatenate([lde_evals, lde_evals[:, :, :halo]], axis=2)
+        # chunked evaluation straight off the packed LDE (wraparound halo
+        # handled inside the kernel by a second boundary-aligned slice)
         kernel = self._jit_cache[key]
         parts = []
         t0 = time.perf_counter()
         for a in range(0, N, chunk):
-            parts.append(kernel(ext, boundary_ab, transition_ab,
+            parts.append(kernel(lde_evals, boundary_ab, transition_ab,
                                 boundary_values, rap_arrays, self.tables,
-                                jnp.int32(a)))
+                                jnp.int32(a), jnp.int32((a + chunk) % N)))
         acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         if _DEBUG:
             jax.block_until_ready(acc)
@@ -444,6 +524,8 @@ class ProverKernels:
             @jax.jit
             def ev_chunk(cs, pw, start):
                 c = jax.lax.dynamic_slice_in_dim(cs, start, chunk, axis=-1)
+                if c.shape[0] == N_LIMBS // 2:  # packed resident polys
+                    c = fd.unpack(c)
                 p = jax.lax.dynamic_slice_in_dim(pw, start, chunk, axis=-1)
                 return nttc.sum_reduce(fd.mul(c, p), axis=-1)
 
@@ -494,6 +576,8 @@ class ProverKernels:
                            start):
                 total_cols = lde.shape[1]
                 lde_c = jax.lax.dynamic_slice_in_dim(lde, start, chunk, axis=2)
+                if lde_c.shape[0] == N_LIMBS // 2:  # packed resident LDE
+                    lde_c = fd.unpack(lde_c)
                 h1_c = jax.lax.dynamic_slice_in_dim(h1_lde_, start, chunk, axis=1)
                 h2_c = jax.lax.dynamic_slice_in_dim(h2_lde_, start, chunk, axis=1)
                 invs = [

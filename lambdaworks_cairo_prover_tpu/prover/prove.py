@@ -233,7 +233,18 @@ def prove(
 
     # ======================= Round 1: RAP =================================
     t1 = time.perf_counter()
-    trace_polys, lde_evals, main_levels = kern.interpolate_commit(main_trace.data)
+    packed = getattr(kern, "packed_resident", False)
+    n_main_cols = main_trace.data.shape[1]
+    if packed:
+        # one packed (8, main+aux cols, n|N) buffer pair for the whole
+        # trace; both commits write into it in place (kernels.py rationale)
+        bufs = kern.alloc_buffers(
+            n_main_cols + air.number_auxiliary_rap_columns())
+        trace_polys, lde_evals, main_levels = kern.interpolate_commit(
+            main_trace.data, bufs=bufs, col_start=0)
+    else:
+        trace_polys, lde_evals, main_levels = kern.interpolate_commit(
+            main_trace.data)
     main_tree = fetch_tree(main_levels)
     transcript.append(main_tree.root)
     lde_trace_merkle_roots = [main_tree.root]
@@ -251,11 +262,17 @@ def prove(
         if not validate_trace(air, main_trace, aux_trace, rap_challenges):
             raise ProvingError("trace does not satisfy the AIR constraints")
     if not aux_trace.is_empty():
-        aux_polys, aux_lde, aux_levels = kern.interpolate_commit(aux_trace.data)
+        if packed:
+            trace_polys, lde_evals, aux_levels = kern.interpolate_commit(
+                aux_trace.data, bufs=(trace_polys, lde_evals),
+                col_start=n_main_cols)
+        else:
+            aux_polys, aux_lde, aux_levels = kern.interpolate_commit(
+                aux_trace.data)
+            trace_polys = jnp.concatenate([trace_polys, aux_polys], axis=1)
+            lde_evals = jnp.concatenate([lde_evals, aux_lde], axis=1)
         aux_tree = fetch_tree(aux_levels)
         transcript.append(aux_tree.root)
-        trace_polys = jnp.concatenate([trace_polys, aux_polys], axis=1)
-        lde_evals = jnp.concatenate([lde_evals, aux_lde], axis=1)
         lde_trace_merkle_roots.append(aux_tree.root)
         lde_trace_merkle_trees.append(aux_tree)
     total_cols = trace_polys.shape[1]
@@ -514,7 +531,10 @@ def prove(
             layer_plans.append(("dev", queue_limbs(evals, both_idx),
                                 queue_tree(tree, both_idx)))
     h12_pos = queue_limbs(jnp.stack([h1_lde, h2_lde], axis=1), open_idxs)
-    rows_pos = queue_limbs(lde_evals, open_idxs)
+    # the resident LDE may be packed — the kernels gather + unpack the
+    # queried columns into a small (16, cols, nq) array first
+    lde_q = kern.gather_columns(lde_evals, open_idxs)
+    rows_pos = queue_limbs(lde_q, list(range(len(open_idxs))))
     comp_pos = queue_tree(composition_tree, open_idxs)
     trace_pos = [queue_tree(t, open_idxs) for t in lde_trace_merkle_trees]
 

@@ -70,7 +70,7 @@ _SLOW_MODULES = {
     "test_trace_attacks",
     "test_trace_file_ingestion",
 }
-_SLOW_TESTS = {"test_hinted_program_proves"}
+_SLOW_TESTS = {"test_hinted_program_proves", "test_fused_matches_xla_large"}
 
 
 def pytest_collection_modifyitems(config, items):

@@ -41,9 +41,22 @@ def _reference(x, log_n, inverse):
     return nttc._ntt_impl(x, nttc._stage_twiddles(log_n, inverse), log_n)
 
 
-@pytest.mark.parametrize("log_n", [12, 13, 14, 15])
+@pytest.mark.parametrize("log_n", [12, 13])
 @pytest.mark.parametrize("inverse", [False, True])
 def test_fused_matches_xla(log_n, inverse):
+    x = _rand((), 1 << log_n)
+    got = _fused(x, log_n, inverse)
+    want = _reference(x, log_n, inverse)
+    assert jnp.array_equal(got, want), f"mismatch at n=2^{log_n}"
+
+
+# interpret-mode Pallas at 2^14/2^15 takes many minutes on CPU — slow tier
+# only (the 2^12/2^13 fast cases above cover local stages + one global
+# single stage; these add the global pair and pair+single schedules; the
+# conftest _SLOW_TESTS set routes this name to the slow tier)
+@pytest.mark.parametrize("log_n", [14, 15])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fused_matches_xla_large(log_n, inverse):
     x = _rand((), 1 << log_n)
     got = _fused(x, log_n, inverse)
     want = _reference(x, log_n, inverse)

@@ -2,8 +2,14 @@
 
     python tools/bench_fused.py [log_n ...]
 """
+import os
 import sys
 import time
+
+# pin the "current" baseline to the four-step/stage-loop dispatch even when
+# the fused path is opted in via env — otherwise the head-to-head would
+# measure fused vs fused and the match check would be vacuous
+os.environ["LCP_FUSED_NTT"] = "0"
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +41,10 @@ def main():
     logs = [int(a) for a in sys.argv[1:]] or [20]
     for log_n in logs:
         n = 1 << log_n
-        x = jnp.asarray(fd.from_ints([pow(3, i, P) for i in range(256)]))
-        x = jnp.tile(x, (1, n // 256))
+        # non-periodic input: a periodic (tiled) input has zero spectrum at
+        # 255/256 of positions, leaving most twiddle/index-map logic
+        # untested by the match check below
+        x = fd.powers(3, n)
 
         def make_cur(k):
             @jax.jit
