@@ -197,13 +197,22 @@ def _stable_sort_u64(canon):
     return perm1[perm2]
 
 
-@_functools.partial(_jax.jit, static_argnames=("n",))
-def _aux_trace_kernel(addr_cols, val_cols, off_cols, a_aux, v_aux, z_arr,
-                      alpha_arr, zr_arr, n: int):
-    """Builds the (16, 18, n) auxiliary trace on device.
+def _de_interleave(flat, n, k):
+    return _jnp.moveaxis(flat.reshape(16, n, k), 2, 1)  # (16, k, n)
 
-    addr/val/off_cols: row-major flattened access sequences (Montgomery);
-    a_aux/v_aux: with public memory injected; challenge scalars as (16,1)."""
+
+# The aux build is TWO jitted programs (memory argument / range-check
+# argument) rather than one: each holds ~10 live (16, 4n) temporaries
+# (sort keys, permutations, inverses, scan state), and splitting lets the
+# memory-argument workspace free before the rc one allocates — at 2^19
+# rows this is the difference between fitting next to the packed round-1
+# buffers and a RESOURCE_EXHAUSTED.
+
+@_functools.partial(_jax.jit, static_argnames=("n",))
+def _aux_mem_kernel(addr_cols, val_cols, a_aux, v_aux, z_arr, alpha_arr,
+                    n: int):
+    """Memory-argument aux columns: sorted (addr, value) pairs + the
+    permutation cumulative product, as (16, 12, n)."""
     from ..field import device as fd
 
     # sort (address, value) pairs by canonical address, stable
@@ -218,8 +227,17 @@ def _aux_trace_kernel(addr_cols, val_cols, off_cols, a_aux, v_aux, z_arr,
     ratio = fd.mul(num, fd.batch_inverse(den))
     perm_col = _jax.lax.associative_scan(
         lambda x, y: fd.mul(x, y, prefer_pallas=False), ratio, axis=1)
+    return _jnp.concatenate(
+        [_de_interleave(addr_sorted, n, 4), _de_interleave(val_sorted, n, 4),
+         _de_interleave(perm_col, n, 4)], axis=1)
 
-    # range-check: sort offsets (< 2^16) and cumprod of (z-x)/(z-x')
+
+@_functools.partial(_jax.jit, static_argnames=("n",))
+def _aux_rc_kernel(off_cols, zr_arr, n: int):
+    """Range-check aux columns: sorted offsets + permutation cumulative
+    product, as ((16, 3, n), (16, 3, n))."""
+    from ..field import device as fd
+
     o_canon = fd.from_mont(off_cols)
     operm = _jnp.argsort(o_canon[0], stable=True)
     off_sorted = off_cols[:, operm]
@@ -228,21 +246,7 @@ def _aux_trace_kernel(addr_cols, val_cols, off_cols, a_aux, v_aux, z_arr,
     ratio_rc = fd.mul(num_rc, fd.batch_inverse(den_rc))
     rc_perm_col = _jax.lax.associative_scan(
         lambda x, y: fd.mul(x, y, prefer_pallas=False), ratio_rc, axis=1)
-
-    def de_interleave(flat, k):
-        return _jnp.moveaxis(flat.reshape(16, n, k), 2, 1)  # (16, k, n)
-
-    aux = _jnp.concatenate(
-        [
-            de_interleave(off_sorted, 3),
-            de_interleave(addr_sorted, 4),
-            de_interleave(val_sorted, 4),
-            de_interleave(perm_col, 4),
-            de_interleave(rc_perm_col, 3),
-        ],
-        axis=1,
-    )
-    return aux
+    return _de_interleave(off_sorted, n, 3), _de_interleave(rc_perm_col, n, 3)
 
 
 def CairoRAPChallenges(alpha_memory, z_memory, z_range_check):
@@ -368,10 +372,10 @@ class CairoAIR(AIR):
         alpha_arr = jnp.asarray(_f.from_int(rc[RAP_ALPHA_MEMORY]))
         zr_arr = jnp.asarray(_f.from_int(rc[RAP_Z_RANGE_CHECK]))
 
-        aux = _aux_trace_kernel(
-            addr_cols, val_cols, off_cols, a_aux, v_aux, z_arr, alpha_arr,
-            zr_arr, n,
-        )
+        mem_part = _aux_mem_kernel(addr_cols, val_cols, a_aux, v_aux, z_arr,
+                                   alpha_arr, n)
+        off_sorted, rc_perm = _aux_rc_kernel(off_cols, zr_arr, n)
+        aux = jnp.concatenate([off_sorted, mem_part, rc_perm], axis=1)
         return TraceTable(aux)
 
     def build_auxiliary_trace_host(self, main_trace: TraceTable, rc) -> TraceTable:

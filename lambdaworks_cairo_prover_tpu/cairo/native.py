@@ -37,7 +37,8 @@ def _load():
             getattr(lib, name).restype = ctypes.POINTER(ctypes.c_uint8)
             getattr(lib, name).argtypes = [ctypes.c_void_p]
         for name in ("cairo_vm_trace_len", "cairo_vm_memory_len",
-                     "cairo_vm_rc_start", "cairo_vm_rc_end"):
+                     "cairo_vm_rc_start", "cairo_vm_rc_end",
+                     "cairo_vm_out_start", "cairo_vm_out_end"):
             getattr(lib, name).restype = ctypes.c_uint64
             getattr(lib, name).argtypes = [ctypes.c_void_p]
         lib.cairo_vm_error.restype = ctypes.c_char_p
@@ -73,6 +74,8 @@ def run_program_native(program: Program, max_steps: int = 1 << 24):
         memory_bytes = ctypes.string_at(lib.cairo_vm_memory_ptr(res), mlen)
         rc_start = lib.cairo_vm_rc_start(res)
         rc_end = lib.cairo_vm_rc_end(res)
+        out_start = lib.cairo_vm_out_start(res)
+        out_end = lib.cairo_vm_out_end(res)
     finally:
         lib.cairo_vm_free(res)
 
@@ -81,4 +84,6 @@ def run_program_native(program: Program, max_steps: int = 1 << 24):
     builtin_ranges = {}
     if rc_end > rc_start or (rc_start and rc_end == rc_start):
         builtin_ranges["range_check"] = range(rc_start, rc_end)
+    if out_end > out_start or (out_start and out_end == out_start):
+        builtin_ranges["output"] = range(out_start, out_end)
     return register_states, memory, len(program.data), builtin_ranges

@@ -171,6 +171,74 @@ def output_program(values=(42, 123)) -> Program:
     return Program(data=data, main_pc=0, builtins=["output"])
 
 
+def _deref_write(ptr_ap_off: int, cell: int) -> int:
+    """assert [[ap + ptr_ap_off] + cell] = [ap - 1]: writes the just-pushed
+    value through the builtin pointer copy (the VM deduces op1 := dst)."""
+    return encode_instruction(
+        off_dst=-1, off_op0=ptr_ap_off, off_op1=cell, dst_reg=0,
+        op0_reg=0, op1_src=OP1_SRC_OP0, res_logic=RES_OP1,
+        pc_update=PC_REGULAR, ap_update=AP_REGULAR, opcode=OPCODE_ASSERT_EQ,
+    )
+
+
+def _deref_read(ptr_ap_off: int, cell: int) -> int:
+    """[ap] = [[ap + ptr_ap_off] + cell]; ap++: reads a builtin output cell
+    (triggering cairo-vm-style deduction) into the execution segment."""
+    return encode_instruction(
+        off_dst=0, off_op0=ptr_ap_off, off_op1=cell, dst_reg=0,
+        op0_reg=0, op1_src=OP1_SRC_OP0, res_logic=RES_OP1,
+        pc_update=PC_REGULAR, ap_update=AP_ADD1, opcode=OPCODE_ASSERT_EQ,
+    )
+
+
+def bitwise_program(pairs=((0b1100, 0b1010), (0xFF00FF, 0x0F0F0F))) -> Program:
+    """Writes (x, y) pairs into the bitwise builtin segment and reads back
+    x&y, x^y, x|y (cells 2..4 of each 5-cell instance, deduced by the VM —
+    reference executes these through cairo-vm builtin runners,
+    run.rs:76-101; layout must include bitwise, cairo_layout.rs:2-29).
+
+    Stack layout at main: [fp-3] = bitwise base pointer."""
+    data: list[int] = []
+    data += [copy_fp(-3)]               # ptr at ap slot 0
+    ap_off = 1                          # current ap relative to ptr slot
+    for i, (x, y) in enumerate(pairs):
+        base = 5 * i
+        data += push_imm(x)
+        ap_off += 1
+        data += [_deref_write(-ap_off, base)]
+        data += push_imm(y)
+        ap_off += 1
+        data += [_deref_write(-ap_off, base + 1)]
+        for cell in (2, 3, 4):          # read deduced outputs
+            data += [_deref_read(-ap_off, base + cell)]
+            ap_off += 1
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=["bitwise"])
+
+
+def pedersen_program(pairs=((1, 2), (7, 11))) -> Program:
+    """Writes (a, b) pairs into the pedersen builtin segment and reads back
+    H(a, b) (cell 2 of each 3-cell instance, deduced via the STARK-curve
+    Pedersen hash in builtins.py).
+
+    Stack layout at main: [fp-3] = pedersen base pointer."""
+    data: list[int] = []
+    data += [copy_fp(-3)]
+    ap_off = 1
+    for i, (a, b) in enumerate(pairs):
+        base = 3 * i
+        data += push_imm(a)
+        ap_off += 1
+        data += [_deref_write(-ap_off, base)]
+        data += push_imm(b)
+        ap_off += 1
+        data += [_deref_write(-ap_off, base + 1)]
+        data += [_deref_read(-ap_off, base + 2)]
+        ap_off += 1
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=["pedersen"])
+
+
 def rc_program(values=(250, 77, 1 << 100)) -> Program:
     """Writes values into the range-check builtin segment
     (cairo0/rc_program.cairo spirit: main{range_check_ptr}).

@@ -117,10 +117,12 @@ def generate_prover_args(program: Program | bytes | str, output_range=None,
         from . import native as native_vm
 
         # the C++ VM (bit-identical outputs, tests/test_native_vm.py) does
-        # the per-step interpretation ~50x faster; it reports the rc range
-        # only, so programs with an output segment use the python VM, as do
-        # hinted programs (hints run in the python hint processor)
-        if (native_vm.available() and "output" not in program.builtins
+        # the per-step interpretation ~50x faster; it handles the output and
+        # range-check builtin segments, while deduction builtins (bitwise,
+        # pedersen, ec_op) and hinted programs use the python VM (deduction
+        # rules + hint processor live there)
+        if (native_vm.available()
+                and set(program.builtins) <= {"output", "range_check"}
                 and not program.hints):
             register_states, memory, program_size, builtin_ranges = (
                 native_vm.run_program_native(program))

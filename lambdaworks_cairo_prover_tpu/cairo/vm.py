@@ -7,9 +7,10 @@ cairo-vm's binary trace (`ap fp pc` u64 LE rows) and memory (`addr value`)
 encodings, so the downstream trace builder sees identical data.
 
 Supported: the full deterministic instruction set (assert_eq with memory
-deduction, call/ret, jumps, jnz, ap updates, immediates) and the output /
-range-check builtin segments.  Hints are not supported (deterministic
-programs only)."""
+deduction, call/ret, jumps, jnz, ap updates, immediates), the output /
+range-check builtin segments, and the auto-deduction builtins (bitwise,
+pedersen, ec_op — builtins.py), plus the compiled-program hint subset in
+hints.py."""
 
 from __future__ import annotations
 
@@ -83,6 +84,9 @@ class CairoVM:
         # cairo-vm hint hooks.  Seeded from the compiled program's hints.
         self.hints: dict[int, object] = dict(program.hints)
         self.builtin_bases: dict[str, Relocatable] = {}
+        # segment index -> deduction rule (builtins.DEDUCERS), mirroring
+        # cairo-vm's deduce_memory_cell on first read of an output cell
+        self._deducers: dict[int, object] = {}
 
     # -- segment helpers ----------------------------------------------------
 
@@ -91,7 +95,18 @@ class CairoVM:
         return Relocatable(len(self.segments) - 1, 0)
 
     def mem_get(self, addr: Relocatable):
-        return self.segments[addr.segment].get(addr.offset)
+        seg = self.segments[addr.segment]
+        v = seg.get(addr.offset)
+        if v is None:
+            deduce = self._deducers.get(addr.segment)
+            if deduce is not None:
+                try:
+                    v = deduce(seg, addr.offset)
+                except ValueError as e:
+                    raise CairoVMError(str(e))
+                if v is not None:
+                    seg[addr.offset] = v  # reaches relocated memory
+        return v
 
     def mem_set(self, addr: Relocatable, value) -> None:
         seg = self.segments[addr.segment]
@@ -109,10 +124,14 @@ class CairoVM:
         for i, word in enumerate(prog.data):
             self.mem_set(program_base + i, word)
 
+        from .builtins import DEDUCERS
+
         stack: list[object] = []
         for name in prog.builtins:
             base = self.add_segment()
             self.builtin_bases[name] = base
+            if name in DEDUCERS:
+                self._deducers[base.segment] = DEDUCERS[name]
             stack.append(base)
 
         return_fp = self.add_segment()

@@ -250,11 +250,15 @@ def mul(a: jnp.ndarray, b: jnp.ndarray, prefer_pallas: bool = True) -> jnp.ndarr
     global _PINV_ARR
     from .params import P_INV_NEG_LIMBS
 
+    from .params import SPARSE_P
+
     bs = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     n_elems = 1
     for d in bs:
         n_elems *= d
-    if prefer_pallas and n_elems >= 1024 and _pallas_enabled():
+    # the fused Pallas kernel bakes the sparse Stark252 reduction; toy
+    # fields (LCP_FIELD) always take the generic XLA path below
+    if prefer_pallas and n_elems >= 1024 and SPARSE_P and _pallas_enabled():
         from . import pallas_mul
 
         return pallas_mul.mul(a, b)
@@ -279,26 +283,34 @@ def mul(a: jnp.ndarray, b: jnp.ndarray, prefer_pallas: bool = True) -> jnp.ndarr
     pinv = _bcast_limb_const(_PINV_ARR, a)
     m = _carry_scan(_long_mul_columns(t[:N_LIMBS], pinv, N_LIMBS))
 
-    # T + m*p with p = 1 + 17*2^192 + 2048*2^240 (limbs 0, 12, 15):
-    # shifted whole-vector adds of m and the lo/hi halves of 17m / 2048m.
-    def shifted(x, k):
-        pre = jnp.zeros((k,) + x.shape[1:], dtype=U32)
-        post = jnp.zeros((34 - k - x.shape[0],) + x.shape[1:], dtype=U32)
-        return jnp.concatenate([pre, x, post], axis=0)
-
-    p17 = m * jnp.uint32(17)
-    p2048 = m * jnp.uint32(2048)
     t34 = jnp.concatenate(
         [t, jnp.zeros((1,) + t.shape[1:], dtype=U32)], axis=0
     )
-    acc = (
-        t34
-        + shifted(m, 0)
-        + shifted(p17 & MASK, 12)
-        + shifted(p17 >> 16, 13)
-        + shifted(p2048 & MASK, 15)
-        + shifted(p2048 >> 16, 16)
-    )
+    if SPARSE_P:
+        # T + m*p with p = 1 + 17*2^192 + 2048*2^240 (limbs 0, 12, 15):
+        # shifted whole-vector adds of m and the lo/hi halves of 17m/2048m.
+        def shifted(x, k):
+            pre = jnp.zeros((k,) + x.shape[1:], dtype=U32)
+            post = jnp.zeros((34 - k - x.shape[0],) + x.shape[1:], dtype=U32)
+            return jnp.concatenate([pre, x, post], axis=0)
+
+        p17 = m * jnp.uint32(17)
+        p2048 = m * jnp.uint32(2048)
+        acc = (
+            t34
+            + shifted(m, 0)
+            + shifted(p17 & MASK, 12)
+            + shifted(p17 >> 16, 13)
+            + shifted(p2048 & MASK, 15)
+            + shifted(p2048 >> 16, 16)
+        )
+    else:
+        # generic prime: full m*p column sums (toy-field path)
+        p_arr = _bcast_limb_const(_P_ARR, a)
+        mp = _long_mul_columns(m, p_arr, 33)
+        acc = t34 + jnp.concatenate(
+            [mp, jnp.zeros((1,) + mp.shape[1:], dtype=U32)], axis=0
+        )
     limbs = _carry_scan(acc)
     # (T + m*p) / 2^256 < 2p: take limbs 16..32 (limb 33 is zero)
     return _cond_sub_p(limbs[N_LIMBS : 2 * N_LIMBS])

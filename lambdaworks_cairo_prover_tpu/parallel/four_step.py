@@ -96,18 +96,20 @@ class ShardedNTT:
         return self._inter_cache[key]
 
     def powers(self, base: int, n: int) -> jnp.ndarray:
-        """Block-sharded (16, n) powers table [1, base, base^2, ...]."""
+        """Block-sharded (16, n) powers table [1, base, base^2, ...]
+        (replicated when n does not divide the mesh — deep fold layers)."""
         key = (base % PRIME, n)
         if key not in self._pow_cache:
-            sharding = NamedSharding(self.mesh, P(None, self.axis))
-            self._pow_cache[key] = jax.device_put(
-                jnp.asarray(nttc.offset_powers(base, n)), sharding
-            )
+            self._pow_cache[key] = self.shard(
+                jnp.asarray(nttc.offset_powers(base, n)))
         return self._pow_cache[key]
 
     def shard(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Block-shard the last axis of a (16, ..., N) tensor."""
-        spec = [None] * (x.ndim - 1) + [self.axis]
+        """Block-shard the last axis of a (16, ..., N) tensor; tiny axes
+        that do not divide the mesh (deep FRI fold layers) replicate."""
+        spec = [None] * x.ndim
+        if x.shape[-1] % self.d == 0:
+            spec[-1] = self.axis
         return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
 
     # -- transforms ---------------------------------------------------------
@@ -120,9 +122,10 @@ class ShardedNTT:
         n = x.shape[-1]
         plan = self.plan(n)
         if plan is None:
-            # replicated fallback for sizes below the shard threshold
-            y = _plain_dft(x, n, inverse)
-            return jax.device_put(y, self.spec_dom)
+            # fallback for sizes below the shard threshold: transform
+            # replicated, then restore the block layout (or stay
+            # replicated when the axis does not divide the mesh)
+            return self.shard(_plain_dft(x, n, inverse))
         r, c = plan
         tbl = self.inter_table(n, inverse)
         key = (n, x.shape, inverse)
@@ -192,9 +195,7 @@ class ShardedNTT:
         if x.shape[-1] == n_target:
             return x
         pad = jnp.zeros(x.shape[:-1] + (n_target - x.shape[-1],), x.dtype)
-        spec = P(*([None] * (x.ndim - 1) + [self.axis]))
-        return jax.device_put(jnp.concatenate([x, pad], axis=-1),
-                              NamedSharding(self.mesh, spec))
+        return self.shard(jnp.concatenate([x, pad], axis=-1))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "inverse"))

@@ -63,7 +63,7 @@ class _RollFrame:
 class ShardedProverKernels(ProverKernels):
     """Same interface as ProverKernels; the domain axis lives on a mesh."""
 
-    supports_fri_chain = False  # FRI layers fold via ShardedNTT per layer
+    supports_fri_chain = True  # async per-layer chain (fri_commit_chain)
     # sharded tensors stay in the unpacked 16-limb layout ShardedNTT
     # expects; per-device HBM scales down with mesh size instead
     packed_resident = False
@@ -300,6 +300,78 @@ class ShardedProverKernels(ProverKernels):
 
             self._jit_cache[key] = commit
         return self._jit_cache[key](evals)
+
+    # ------------------------------------------------------------------
+    # FRI commit chain, sharded flavor
+    # ------------------------------------------------------------------
+
+    def _chain_zeta(self, state, root):
+        """Advance the device Fiat-Shamir chain: state' = keccak256(state ||
+        root), zeta = 251-bit-masked Montgomery draw — bit-identical to
+        transcript/fiat_shamir.py and the single-chip chain kernel."""
+        if "s_chain_zeta" not in self._jit_cache:
+
+            @jax.jit
+            def step(st, rt):
+                new_state = kd.hash_digest_pairs(
+                    jnp.stack([st, rt], axis=0))[0]
+                zeta = fd.to_mont(kd.digest_words_to_masked_limbs(new_state))
+                return new_state, zeta
+
+            self._jit_cache["s_chain_zeta"] = step
+        return self._jit_cache["s_chain_zeta"](state, root)
+
+    def _fold_z(self, cs, zeta):
+        key = ("s_fold_z", cs.shape)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def fold(cs_, z):
+                return fd.add(cs_[:, 0::2], fd.mul(cs_[:, 1::2], z))
+
+            self._jit_cache[key] = fold
+        return self._jit_cache[key](cs, zeta)
+
+    def fri_commit_chain(self, coeffs, state_words, plan, final_fold=False):
+        """Same contract as ProverKernels.fri_commit_chain, built from
+        per-layer sharded dispatches instead of one XLA program: the
+        Fiat-Shamir state advances ON DEVICE (state' = keccak256(state ||
+        root)), so every fold / four-step evaluate / commit dispatches
+        asynchronously and the caller's single stacked-roots readback is the
+        only host sync in the whole commit phase (reference folds with a
+        synchronous transcript draw per layer, fri/mod.rs:20-72)."""
+        domain = self.domain
+        state = jnp.asarray(state_words)
+        evals0 = self.sntt.evaluate_offset(
+            self.sntt.shard(coeffs), domain.lde_size, domain.coset_offset)
+        levels = self._commit_single(evals0)
+        roots = [levels[-1][0]]
+        evals_out = [evals0]
+        levels_out = [levels]
+        cs = coeffs
+        for off, ds in plan:
+            state, zeta = self._chain_zeta(state, roots[-1])
+            cs = self.sntt.shard(self._fold_z(cs, zeta))
+            evals = self.sntt.evaluate_offset(cs, ds, off)
+            levels = self._commit_single(evals)
+            roots.append(levels[-1][0])
+            evals_out.append(evals)
+            levels_out.append(levels)
+        out_rows = roots
+        if final_fold:
+            state, zeta = self._chain_zeta(state, roots[-1])
+            last = self._fold_z(cs, zeta)
+            if "s_last_raw" not in self._jit_cache:
+
+                @jax.jit
+                def last_raw_fn(x):
+                    return fd.from_mont(x[:, :1]).reshape(2, 8)
+
+                self._jit_cache["s_last_raw"] = last_raw_fn
+            out_rows = roots + [self._jit_cache["s_last_raw"](last)]
+        roots_dev = jnp.concatenate([r.reshape(-1, 8) for r in out_rows],
+                                    axis=0)
+        return roots_dev, tuple(evals_out), tuple(levels_out), cs
 
 
 _SHARDED_CACHE: dict = {}

@@ -226,10 +226,17 @@ class ProverKernels:
     # ------------------------------------------------------------------
 
     def _col_chunk(self) -> int:
-        # the four-step NTT's transient working set scales with cols x N;
-        # halve the column chunk at the largest domains so the per-chunk
-        # transposes fit alongside the packed resident buffers
-        if self.domain.lde_size >= 1 << 21:
+        # the four-step NTT's transient working set scales with cols x N
+        # (each butterfly stage keeps several full-size intermediates
+        # live); shrink the column chunk at the largest domains so the
+        # per-chunk transient fits alongside the packed resident buffers
+        env = os.environ.get("LCP_COL_CHUNK")
+        if env:
+            return max(1, int(env))
+        N = self.domain.lde_size
+        if N >= 1 << 21:
+            return 1
+        if N >= 1 << 19:
             return max(1, _COL_CHUNK // 2)
         return _COL_CHUNK
 
@@ -317,6 +324,10 @@ class ProverKernels:
                 polys_buf, pp, start)
             lde_buf = self._updater(lde_buf.shape, ll.shape)(
                 lde_buf, ll, start)
+            if _DEBUG:
+                jax.block_until_ready(lde_buf)
+                print(f"[kernel r1 chunk {c + 1}/{n_chunks}] "
+                      f"{time.perf_counter() - t0:.2f}s", flush=True)
         if _DEBUG:
             jax.block_until_ready(lde_buf)
             print(f"[kernel r1_poly x{n_chunks}] "

@@ -389,9 +389,14 @@ def prove(
         chain_plan.append((off_p, ds_p))
     buf = getattr(transcript, "_buf", None)
     # exact-type check: a DefaultTranscript SUBCLASS may override the
-    # append/challenge rule, which the device chain hard-codes
+    # append/challenge rule, which the device chain hard-codes; the chain's
+    # on-device field draw also bakes the 252-bit field's 251-bit mask, so
+    # toy fields (LCP_FIELD) take the per-layer path
+    from ..field.params import FIELD_BIT_SIZE
+
     use_chain = (type(transcript) is DefaultTranscript and chain_plan
                  and buf is not None and len(buf) == 32
+                 and FIELD_BIT_SIZE == 252
                  and getattr(kern, "supports_fri_chain", False))
     full_chain = full_chain and use_chain and len(chain_plan) == number_layers - 1
     if use_chain:

@@ -506,6 +506,7 @@ struct RunResult {
     std::vector<uint8_t> trace_bytes;   // 24B rows: ap, fp, pc (u64 LE)
     std::vector<uint8_t> memory_bytes;  // 40B rows: addr u64 LE + 32B value LE
     u64 rc_start = 0, rc_end = 0;       // range_check relocated range (0,0 = none)
+    u64 out_start = 0, out_end = 0;     // output relocated range (0,0 = none)
     std::string error;
 };
 
@@ -573,6 +574,11 @@ RunResult* cairo_vm_run(const uint8_t* program_felts, u64 n_felts, u64 main_pc,
             out->rc_start = bases[it->second];
             out->rc_end = bases[it->second] + sizes[it->second];
         }
+        auto ot = vm.builtin_segments.find("output");
+        if (ot != vm.builtin_segments.end()) {
+            out->out_start = bases[ot->second];
+            out->out_end = bases[ot->second] + sizes[ot->second];
+        }
     } catch (const std::exception& e) {
         out->error = e.what();
     }
@@ -585,6 +591,8 @@ const uint8_t* cairo_vm_memory_ptr(RunResult* r) { return r->memory_bytes.data()
 u64 cairo_vm_memory_len(RunResult* r) { return r->memory_bytes.size(); }
 u64 cairo_vm_rc_start(RunResult* r) { return r->rc_start; }
 u64 cairo_vm_rc_end(RunResult* r) { return r->rc_end; }
+u64 cairo_vm_out_start(RunResult* r) { return r->out_start; }
+u64 cairo_vm_out_end(RunResult* r) { return r->out_end; }
 const char* cairo_vm_error(RunResult* r) {
     return r->error.empty() ? nullptr : r->error.c_str();
 }

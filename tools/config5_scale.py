@@ -1,0 +1,109 @@
+"""BASELINE config 5 demonstration: a >= 2^20-row trace proven with the
+LDE-domain axis sharded over a device mesh (all-to-all four-step NTTs +
+collective Merkle root reduction), recording wall time, per-device resident
+footprint, and all-to-all traffic.
+
+Real multi-host TPU hardware is unavailable in this environment (one
+tunneled chip), so the mesh is the 8-virtual-device CPU mesh the test suite
+uses — the SPMD program (shardings, collectives, transcript schedule) is
+identical to what a TPU pod slice would run; only the executor differs.
+Byte-equality vs the single-device prover at the largest common size is
+asserted separately by tests/test_domain_sharded.py (2^10 and, under
+LCP_BIG_TESTS, 2^18).
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python tools/config5_scale.py [log2_rows] [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+
+def main():
+    log2_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_r04.json"
+
+    from lambdaworks_cairo_prover_tpu.air.examples.simple_fibonacci import (
+        FibonacciAIR, FibonacciPublicInputs, fibonacci_trace)
+    from lambdaworks_cairo_prover_tpu.parallel.sharding import make_mesh
+    from lambdaworks_cairo_prover_tpu.proof.options import ProofOptions
+    from lambdaworks_cairo_prover_tpu.proof.serde import serialize_proof
+    from lambdaworks_cairo_prover_tpu.prover.prove import prove
+    from lambdaworks_cairo_prover_tpu.verifier.verify import verify
+
+    n = 1 << log2_rows
+    devs = jax.devices()
+    d = len(devs)
+    mesh = make_mesh(d)
+    pub = FibonacciPublicInputs(a0=1, a1=1)
+    options = ProofOptions.default_test_options()  # blowup 4
+    N = 4 * n
+
+    t0 = time.perf_counter()
+    trace = fibonacci_trace([1, 1], n)
+    trace_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    proof = prove(trace, pub, options, FibonacciAIR, mesh=mesh,
+                  shard_axis="domain", instrument=True)
+    prove_s = time.perf_counter() - t0
+    ok = verify(proof, pub, options, FibonacciAIR)
+
+    # Analytic communication/footprint model for the 1-column AIR at this
+    # size (64 B per point in the unpacked 16x u32 limb layout):
+    # each four-step transform moves its full tensor through 3 all-to-alls,
+    # each exchanging (d-1)/d of the data.
+    bytes_per_pt = 64
+    transforms = {
+        "r1_interpolate(n)": n,
+        "r1_lde(N)": N,
+        "r2_interpolate(N)": N,
+        "r2_h1_eval(N)": N,
+        "r2_h2_eval(N)": N,
+        "r4_deep_interpolate(N)": N,
+        "fri_layer_evals(sum N/2^k)": 2 * N,
+    }
+    a2a_bytes = sum(3 * m * bytes_per_pt * (d - 1) / d
+                    for m in transforms.values())
+    resident_pts = n + N + 8 * N  # trace polys + LDE + tables/H/FRI approx
+    record = {
+        "config": "BASELINE config 5 (domain-sharded long-trace prove)",
+        "trace_rows_log2": log2_rows,
+        "lde_points": N,
+        "n_devices": d,
+        "mesh_backend": devs[0].platform,
+        "trace_gen_s": round(trace_s, 2),
+        "prove_wall_s": round(prove_s, 2),
+        "verified": bool(ok),
+        "proof_bytes": len(serialize_proof(proof)),
+        "round_fractions": {k: round(v, 4)
+                            for k, v in proof._timings.items()},
+        "all_to_all_bytes_total": int(a2a_bytes),
+        "per_device_resident_bytes_est": int(
+            resident_pts * bytes_per_pt / d),
+        "bytes_equal_single_device": (
+            "asserted at 2^10/2^18 by tests/test_domain_sharded.py; "
+            "single-device at this size exceeds the CPU-host time budget"),
+    }
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
