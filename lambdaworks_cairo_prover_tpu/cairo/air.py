@@ -225,8 +225,7 @@ def _aux_mem_kernel(addr_cols, val_cols, a_aux, v_aux, z_arr, alpha_arr,
     num = fd.sub(z_arr, fd.add(addr_cols, fd.mul(alpha_arr, val_cols)))
     den = fd.sub(z_arr, fd.add(addr_sorted, fd.mul(alpha_arr, val_sorted)))
     ratio = fd.mul(num, fd.batch_inverse(den))
-    perm_col = _jax.lax.associative_scan(
-        lambda x, y: fd.mul(x, y, prefer_pallas=False), ratio, axis=1)
+    perm_col = fd.prefix_product(ratio)
     return _jnp.concatenate(
         [_de_interleave(addr_sorted, n, 4), _de_interleave(val_sorted, n, 4),
          _de_interleave(perm_col, n, 4)], axis=1)
@@ -244,8 +243,7 @@ def _aux_rc_kernel(off_cols, zr_arr, n: int):
     num_rc = fd.sub(zr_arr, off_cols)
     den_rc = fd.sub(zr_arr, off_sorted)
     ratio_rc = fd.mul(num_rc, fd.batch_inverse(den_rc))
-    rc_perm_col = _jax.lax.associative_scan(
-        lambda x, y: fd.mul(x, y, prefer_pallas=False), ratio_rc, axis=1)
+    rc_perm_col = fd.prefix_product(ratio_rc)
     return _de_interleave(off_sorted, n, 3), _de_interleave(rc_perm_col, n, 3)
 
 
@@ -332,7 +330,7 @@ class CairoAIR(AIR):
     def build_auxiliary_trace(self, main_trace: TraceTable, rc) -> TraceTable:
         """Device-accelerated RAP trace: the sorts run as stable radix
         argsorts on packed u32 keys, the cumulative products as
-        `associative_scan` over Montgomery multiplies (SURVEY §2.3:
+        blocked `prefix_product` scans over Montgomery multiplies (SURVEY §2.3:
         sequential-looking pieces as scans)."""
         import jax
         import jax.numpy as jnp
@@ -374,7 +372,17 @@ class CairoAIR(AIR):
 
         mem_part = _aux_mem_kernel(addr_cols, val_cols, a_aux, v_aux, z_arr,
                                    alpha_arr, n)
+        import os as _os
+
+        if _os.environ.get("LCP_DEBUG_MEM"):
+            from ..prover.prove import _mem
+
+            jax.block_until_ready(mem_part)
+            _mem("aux: mem kernel done")
         off_sorted, rc_perm = _aux_rc_kernel(off_cols, zr_arr, n)
+        if _os.environ.get("LCP_DEBUG_MEM"):
+            jax.block_until_ready((off_sorted, rc_perm))
+            _mem("aux: rc kernel done")
         aux = jnp.concatenate([off_sorted, mem_part, rc_perm], axis=1)
         return TraceTable(aux)
 

@@ -455,6 +455,45 @@ def batch_inverse(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
     return select(zmask, zeros((n,)), out)
 
 
+def prefix_product(x: jnp.ndarray, chunk: int = 256) -> jnp.ndarray:
+    """Inclusive prefix product along the batch axis of ``x``: (16, n).
+
+    TPU-first replacement for ``lax.associative_scan(mul, ...)`` at large n:
+    the associative-scan tree issues full-length XLA multiplies whose
+    anti-diagonal long-mul windows transiently materialize ~33x the operand
+    (multi-GB at n = 2^21 — the round-1 OOM on fib(70000)).  Here the only
+    full-length multiply is the final block-offset application, which routes
+    to the fused Pallas kernel on TPU; everything else is a lax.scan of
+    (16, n/chunk)-sized steps, the same shape discipline as batch_inverse.
+    """
+    n = x.shape[1]
+    if n == 0:
+        return x
+    pad = (-n) % chunk
+    xs = x
+    if pad:
+        xs = jnp.concatenate([xs, ones((pad,))], axis=1)
+    k = xs.shape[1] // chunk
+    xs = xs.reshape(N_LIMBS, k, chunk)
+    xs_t = jnp.moveaxis(xs, 2, 0)  # (chunk, 16, k)
+
+    def fwd(carry, xt):
+        nxt = mul(carry, xt)
+        return nxt, nxt
+
+    totals, prefixes = jax.lax.scan(fwd, ones((k,)), xs_t)
+    # exclusive prefix of per-block totals (k is small: n/chunk)
+    block_incl = jax.lax.associative_scan(
+        lambda a, b: mul(a, b, prefer_pallas=False), totals, axis=1
+    )
+    block_excl = jnp.concatenate(
+        [ones((1,)), block_incl[:, :-1]], axis=1
+    )  # (16, k)
+    # one full-length multiply: Pallas-fused on TPU, so no giant transient
+    out = mul(jnp.moveaxis(prefixes, 0, 2), block_excl[:, :, None])
+    return out.reshape(N_LIMBS, k * chunk)[:, :n]
+
+
 # ---------------------------------------------------------------------------
 # Power tables (twiddles, offset powers) built on device
 # ---------------------------------------------------------------------------

@@ -37,6 +37,27 @@ from ..parallel.sharding import fetch_np
 import jax
 
 
+def _mem(tag: str) -> None:
+    """HBM telemetry (LCP_DEBUG_MEM=1): prints live/peak device bytes after
+    syncing outstanding dispatches, so OOMs can be localized per phase."""
+    import os
+
+    if not os.environ.get("LCP_DEBUG_MEM"):
+        return
+    try:
+        # allocator stats are unavailable on tunneled backends (axon returns
+        # zeros), so sum the live-array working set instead — exact for
+        # framework-held buffers, excludes XLA scratch
+        live = jax.live_arrays()
+        total = sum(a.nbytes for a in live)
+        top = sorted(live, key=lambda a: -a.nbytes)[:6]
+        tops = ", ".join(f"{a.shape}:{a.nbytes / 1e9:.2f}" for a in top)
+        print(f"[mem {tag}] live={total / 1e9:.2f}GB n={len(live)} "
+              f"top=[{tops}]", flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"[mem {tag}] unavailable: {e}", flush=True)
+
+
 @jax.jit
 def _query_gather(srcs, idxs, dig_srcs, dig_idxs):
     """All query-phase openings in one program: limb-value gathers along the
@@ -230,6 +251,7 @@ def prove(
     g = domain.trace_primitive_root
     offsets = air.context.transition_offsets
     timings["round0"] = time.perf_counter() - t0
+    _mem("round0: kernels+tables built")
 
     # ======================= Round 1: RAP =================================
     t1 = time.perf_counter()
@@ -245,6 +267,7 @@ def prove(
     else:
         trace_polys, lde_evals, main_levels = kern.interpolate_commit(
             main_trace.data)
+    _mem("round1: main trace committed")
     main_tree = fetch_tree(main_levels)
     transcript.append(main_tree.root)
     lde_trace_merkle_roots = [main_tree.root]
@@ -252,6 +275,7 @@ def prove(
 
     rap_challenges = air.build_rap_challenges(transcript)
     aux_trace = air.build_auxiliary_trace(main_trace, rap_challenges)
+    _mem("round1: aux trace built")
     if os.environ.get("LCP_VALIDATE_TRACE"):
         # Reference prover.rs:573-580 runs the pointwise constraint oracle on
         # every debug-build prove; here it is env-gated (it is O(n·constraints)
@@ -277,6 +301,7 @@ def prove(
         lde_trace_merkle_trees.append(aux_tree)
     total_cols = trace_polys.shape[1]
     timings["round1"] = time.perf_counter() - t1
+    _mem("round1: aux committed")
 
     # ======================= Round 2: composition poly ====================
     t2 = time.perf_counter()
@@ -302,6 +327,7 @@ def prove(
     composition_tree = fetch_tree(comp_levels)
     transcript.append(composition_tree.root)
     timings["round2"] = time.perf_counter() - t2
+    _mem("round2: composition committed")
 
     # ======================= Round 3: OOD evaluations =====================
     t3 = time.perf_counter()
@@ -361,6 +387,7 @@ def prove(
         lde_evals, h1_lde, h2_lde, point_arrs, gamma_arr, gammas_hh, ood_tuple
     )
     timings["round4_deep"] = time.perf_counter() - t4
+    _mem("round4: deep poly")
 
     # FRI commit phase (reference fri/mod.rs:20-72)
     t4b = time.perf_counter()
@@ -473,6 +500,7 @@ def prove(
 
         timings["round4_fri_commit"] = time.perf_counter() - t4b
 
+    _mem("round4: fri committed")
     # grinding (reference prover.rs:380-385)
     t4c = time.perf_counter()
     transcript_challenge = transcript.challenge()

@@ -100,3 +100,24 @@ def test_randomness_to_field_reference_vectors():
         "0700FF00FF00FF00FF00FF00FF00FF00FF00FF00FF00FF00FF00FF00FF00FF00", 16
     )
     assert fh.randomness_to_field(r2) == expected
+
+
+def test_prefix_product_matches_host():
+    """Blocked device prefix product == host cumulative product (the aux
+    RAP permutation columns are built from this; associative_scan's full
+    width XLA muls OOM'd the chip at 2^19 rows — see field/device.py)."""
+    import numpy as np
+
+    from lambdaworks_cairo_prover_tpu.field import device as fd
+    from lambdaworks_cairo_prover_tpu.field.params import P
+
+    rng = np.random.default_rng(7)
+    for n in (1, 5, 256, 1000, 2048):
+        vals = [int(v) for v in rng.integers(1, 1 << 63, size=n)]
+        x = jnp.asarray(fd.from_ints(vals))
+        got = fd.to_ints(np.asarray(fd.prefix_product(x)))
+        want, acc = [], 1
+        for v in vals:
+            acc = acc * v % P
+            want.append(acc)
+        assert got == want, f"prefix_product mismatch at n={n}"
