@@ -19,11 +19,20 @@ reference's function-runner setup behavior:
   stack, ``fp = ap = execution_base + len(stack)``, ``pc = entrypoint``
   (cairo-vm `run_from_entrypoint` / `initialize_function_entrypoint`).
 
-Only the deterministic core-library hints the Cairo1 compiler emits for
-control flow are interpreted (`AllocSegment`, `TestLessThan`,
-`TestLessThanOrEqual` — cairo-vm's `Cairo1HintProcessor` subset); anything
-else raises, as the reference's prover pipeline has no syscall handler
-either."""
+The deterministic core-library hints the Cairo1 compiler emits are
+interpreted natively (cairo-vm `Cairo1HintProcessor` subset): segment
+allocation (`AllocSegment`, `AllocConstantSize`), comparisons
+(`TestLessThan`, `TestLessThanOrEqual`), 128/256-bit arithmetic
+(`WideMul128`, `DivMod`, `Uint256DivMod`, `SquareRoot`,
+`Uint256SquareRoot`, `LinearSplit`), the `assert_le_felt` arc protocol
+(`AssertLeFindSmallArcs` + the two exclusion flags), the Felt252Dict /
+segment-arena family (`AllocFelt252Dict`, `Felt252DictEntryInit`,
+`Felt252DictEntryUpdate`, `GetSegmentArenaIndex`) and the squash-dict loop
+(`InitSquashData`, `GetCurrentAccessIndex`, `ShouldSkipSquashLoop`,
+`GetCurrentAccessDelta`, `ShouldContinueSquashLoop`, `GetNextDictKey`),
+plus `DebugPrint`.  Anything else (EC/syscall hints) raises, as the
+reference's prover pipeline has no syscall handler either
+(run.rs:102-191)."""
 
 from __future__ import annotations
 
@@ -94,9 +103,57 @@ def _as_int(v) -> int:
     return v
 
 
+_U128 = 1 << 128
+_U64_MASK = (1 << 64) - 1
+# canonical math.cairo arc-split constants (see hints_stdlib.py)
+_PRIME_OVER_3_HIGH = 0x2AAAAAAAAAAAAB05555555555555556
+_PRIME_OVER_2_HIGH = 0x4000000000000110000000000000000
+
+
+def _isqrt(n: int) -> int:
+    import math
+    return math.isqrt(n)
+
+
+class _SquashState:
+    """cairo-vm DictSquashExecScope: loop state shared by the squash-dict
+    hint family within one squash_dict call."""
+
+    def __init__(self):
+        self.access_indices: dict[int, list[int]] = {}
+        self.keys: list[int] = []                 # descending; last = current
+        self.current_access_indices: list[int] = []  # descending; last = next
+
+    def current_key(self):
+        if not self.keys:
+            raise CairoVMError("squash-dict hint with no keys left")
+        return self.keys[-1]
+
+
+def _squash_state(vm) -> "_SquashState":
+    st = vm.exec_scopes[0].get("__casm_squash__")
+    if st is None:
+        raise CairoVMError("squash-dict hint before InitSquashData")
+    return st
+
+
+def _dict_manager(vm):
+    from .hints_stdlib import DictManager
+    mgr = vm.exec_scopes[0].get("__casm_dict_manager__")
+    if mgr is None:
+        mgr = DictManager()
+        mgr.order = []  # allocation order, for GetSegmentArenaIndex
+        vm.exec_scopes[0]["__casm_dict_manager__"] = mgr
+    return mgr
+
+
 def _compile_hint(hint: dict):
     """One core-library hint dict -> callable(vm, ap, fp)."""
     (kind, body), = hint.items()
+    # cairo-lang-casm wraps hints as {"Core": {...}} / {"Starknet": {...}};
+    # unwrap one level so both framings dispatch identically
+    if kind in ("Core", "Starknet", "External") and isinstance(body, dict):
+        (kind, body), = body.items()
 
     if kind == "AllocSegment":
         dst = body["dst"]
@@ -117,6 +174,296 @@ def _compile_hint(hint: dict):
             vm.mem_set(_cell_addr(dst, ap, fp), 1 if ok else 0)
 
         return run_cmp
+
+    if kind == "WideMul128":
+        lhs, rhs = body["lhs"], body["rhs"]
+        high, low = body["high"], body["low"]
+
+        def run_widemul(vm, ap, fp):
+            v = (_as_int(_res_value(vm, lhs, ap, fp))
+                 * _as_int(_res_value(vm, rhs, ap, fp)))
+            vm.mem_set(_cell_addr(high, ap, fp), v >> 128)
+            vm.mem_set(_cell_addr(low, ap, fp), v & (_U128 - 1))
+
+        return run_widemul
+
+    if kind == "DivMod":
+        lhs, rhs = body["lhs"], body["rhs"]
+        quotient, remainder = body["quotient"], body["remainder"]
+
+        def run_divmod(vm, ap, fp):
+            a = _as_int(_res_value(vm, lhs, ap, fp))
+            b = _as_int(_res_value(vm, rhs, ap, fp))
+            if b == 0:
+                raise CairoVMError("DivMod hint: division by zero")
+            q, r = divmod(a, b)
+            vm.mem_set(_cell_addr(quotient, ap, fp), q)
+            vm.mem_set(_cell_addr(remainder, ap, fp), r)
+
+        return run_divmod
+
+    if kind == "Uint256DivMod":
+        ops = body
+
+        def run_u256_divmod(vm, ap, fp):
+            d0 = _as_int(_res_value(vm, ops["dividend0"], ap, fp))
+            d1 = _as_int(_res_value(vm, ops["dividend1"], ap, fp))
+            v0 = _as_int(_res_value(vm, ops["divisor0"], ap, fp))
+            v1 = _as_int(_res_value(vm, ops["divisor1"], ap, fp))
+            dividend = (d1 << 128) + d0
+            divisor = (v1 << 128) + v0
+            if divisor == 0:
+                raise CairoVMError("Uint256DivMod hint: division by zero")
+            q, r = divmod(dividend, divisor)
+            vm.mem_set(_cell_addr(ops["quotient0"], ap, fp), q & (_U128 - 1))
+            vm.mem_set(_cell_addr(ops["quotient1"], ap, fp), q >> 128)
+            vm.mem_set(_cell_addr(ops["remainder0"], ap, fp), r & (_U128 - 1))
+            vm.mem_set(_cell_addr(ops["remainder1"], ap, fp), r >> 128)
+
+        return run_u256_divmod
+
+    if kind == "SquareRoot":
+        value, dst = body["value"], body["dst"]
+
+        def run_sqrt(vm, ap, fp):
+            vm.mem_set(_cell_addr(dst, ap, fp),
+                       _isqrt(_as_int(_res_value(vm, value, ap, fp))))
+
+        return run_sqrt
+
+    if kind == "Uint256SquareRoot":
+        ops = body
+
+        def run_u256_sqrt(vm, ap, fp):
+            lo = _as_int(_res_value(vm, ops["value_low"], ap, fp))
+            hi = _as_int(_res_value(vm, ops["value_high"], ap, fp))
+            n = (hi << 128) + lo
+            s = _isqrt(n)
+            rem = n - s * s
+            vm.mem_set(_cell_addr(ops["sqrt0"], ap, fp), s & _U64_MASK)
+            vm.mem_set(_cell_addr(ops["sqrt1"], ap, fp), s >> 64)
+            vm.mem_set(_cell_addr(ops["remainder_low"], ap, fp),
+                       rem & (_U128 - 1))
+            vm.mem_set(_cell_addr(ops["remainder_high"], ap, fp), rem >> 128)
+            vm.mem_set(
+                _cell_addr(ops["sqrt_mul_2_minus_remainder_ge_u128"], ap, fp),
+                1 if (2 * s - rem) >= _U128 else 0)
+
+        return run_u256_sqrt
+
+    if kind == "LinearSplit":
+        ops = body
+
+        def run_linear_split(vm, ap, fp):
+            value = _as_int(_res_value(vm, ops["value"], ap, fp))
+            scalar = _as_int(_res_value(vm, ops["scalar"], ap, fp))
+            max_x = _as_int(_res_value(vm, ops["max_x"], ap, fp))
+            x = min(value // scalar, max_x)
+            vm.mem_set(_cell_addr(ops["x"], ap, fp), x)
+            vm.mem_set(_cell_addr(ops["y"], ap, fp), value - x * scalar)
+
+        return run_linear_split
+
+    if kind == "AssertLeFindSmallArcs":
+        ops = body
+
+        def run_find_arcs(vm, ap, fp):
+            a = _as_int(_res_value(vm, ops["a"], ap, fp)) % P
+            b = _as_int(_res_value(vm, ops["b"], ap, fp)) % P
+            rc = _res_value(vm, ops["range_check_ptr"], ap, fp)
+            arcs = sorted([(a, 0), ((b - a) % P, 1), ((P - 1 - b) % P, 2)])
+            vm.exec_scopes[0]["__casm_excluded_arc__"] = arcs[2][1]
+            q0, r0 = divmod(arcs[0][0], _PRIME_OVER_3_HIGH)
+            q1, r1 = divmod(arcs[1][0], _PRIME_OVER_2_HIGH)
+            vm.mem_set(rc + 0, r0)
+            vm.mem_set(rc + 1, q0)
+            vm.mem_set(rc + 2, r1)
+            vm.mem_set(rc + 3, q1)
+
+        return run_find_arcs
+
+    if kind in ("AssertLeIsFirstArcExcluded", "AssertLeIsSecondArcExcluded"):
+        which = 0 if kind == "AssertLeIsFirstArcExcluded" else 1
+        flag = body["skip_exclude_a_flag" if which == 0
+                    else "skip_exclude_b_flag"]
+
+        def run_arc_flag(vm, ap, fp):
+            excluded = vm.exec_scopes[0].get("__casm_excluded_arc__")
+            if excluded is None:
+                raise CairoVMError(
+                    "arc-exclusion hint before AssertLeFindSmallArcs")
+            vm.mem_set(_cell_addr(flag, ap, fp),
+                       1 if excluded != which else 0)
+
+        return run_arc_flag
+
+    if kind == "AllocFelt252Dict":
+        arena = body["segment_arena_ptr"]
+
+        def run_alloc_dict(vm, ap, fp):
+            arena_ptr = _res_value(vm, arena, ap, fp)
+            # SegmentArena layout: [infos_start, n_segments, n_finalized]
+            # immediately before arena_ptr (segment_arena.cairo)
+            infos = vm.mem_get(arena_ptr - 3)
+            n_dicts = vm.mem_get(arena_ptr - 2)
+            mgr = _dict_manager(vm)
+            base = mgr.new_default_dict(vm, 0)
+            mgr.order.append(base.segment)
+            vm.mem_set(infos + 3 * n_dicts, base)
+
+        return run_alloc_dict
+
+    if kind == "Felt252DictEntryInit":
+        ops = body
+
+        def run_entry_init(vm, ap, fp):
+            dict_ptr = _res_value(vm, ops["dict_ptr"], ap, fp)
+            key = _res_value(vm, ops["key"], ap, fp)
+            mgr = _dict_manager(vm)
+            tracker = mgr.trackers.get(dict_ptr.segment)
+            if tracker is None:
+                raise CairoVMError(
+                    f"Felt252DictEntryInit on unknown dict segment "
+                    f"{dict_ptr.segment}")
+            # entry layout = DictAccess {key, prev_value, new_value}
+            vm.mem_set(dict_ptr + 1, tracker.get(key))
+            tracker.current_ptr = dict_ptr + 3
+
+        return run_entry_init
+
+    if kind == "Felt252DictEntryUpdate":
+        ops = body
+
+        def run_entry_update(vm, ap, fp):
+            dict_ptr = _res_value(vm, ops["dict_ptr"], ap, fp)
+            value = _res_value(vm, ops["value"], ap, fp)
+            mgr = _dict_manager(vm)
+            tracker = mgr.trackers.get(dict_ptr.segment)
+            if tracker is None:
+                raise CairoVMError(
+                    f"Felt252DictEntryUpdate on unknown dict segment "
+                    f"{dict_ptr.segment}")
+            key = vm.mem_get(dict_ptr - 3)
+            tracker.data[key] = value
+
+        return run_entry_update
+
+    if kind == "GetSegmentArenaIndex":
+        ops = body
+
+        def run_arena_index(vm, ap, fp):
+            dict_end = _res_value(vm, ops["dict_end_ptr"], ap, fp)
+            mgr = _dict_manager(vm)
+            try:
+                idx = mgr.order.index(dict_end.segment)
+            except ValueError:
+                raise CairoVMError(
+                    f"GetSegmentArenaIndex: segment {dict_end.segment} is "
+                    f"not an arena dict")
+            vm.mem_set(_cell_addr(ops["dict_index"], ap, fp), idx)
+
+        return run_arena_index
+
+    if kind == "InitSquashData":
+        ops = body
+
+        def run_init_squash(vm, ap, fp):
+            address = _res_value(vm, ops["dict_accesses"], ap, fp)
+            ptr_diff = _as_int(_res_value(vm, ops["ptr_diff"], ap, fp))
+            n_accesses = _as_int(_res_value(vm, ops["n_accesses"], ap, fp))
+            if ptr_diff % 3 != 0:
+                raise CairoVMError(
+                    "InitSquashData: accesses array size must be divisible "
+                    "by DictAccess.SIZE")
+            st = _SquashState()
+            vm.exec_scopes[0]["__casm_squash__"] = st
+            for i in range(n_accesses):
+                key = vm.mem_get(address + 3 * i)
+                st.access_indices.setdefault(key, []).append(i)
+            st.keys = sorted(st.access_indices.keys(), reverse=True)
+            vm.mem_set(_cell_addr(ops["big_keys"], ap, fp),
+                       1 if st.keys[0] >= _U128 else 0)
+            vm.mem_set(_cell_addr(ops["first_key"], ap, fp),
+                       st.current_key())
+
+        return run_init_squash
+
+    if kind == "GetCurrentAccessIndex":
+        ops = body
+
+        def run_current_index(vm, ap, fp):
+            st = _squash_state(vm)
+            if not st.current_access_indices:
+                st.current_access_indices = sorted(
+                    st.access_indices[st.current_key()], reverse=True)
+            rc = _res_value(vm, ops["range_check_ptr"], ap, fp)
+            vm.mem_set(rc, st.current_access_indices[-1])
+
+        return run_current_index
+
+    if kind == "ShouldSkipSquashLoop":
+        dst = body["should_skip_loop"]
+
+        def run_should_skip(vm, ap, fp):
+            st = _squash_state(vm)
+            vm.mem_set(_cell_addr(dst, ap, fp),
+                       0 if len(st.current_access_indices) > 1 else 1)
+
+        return run_should_skip
+
+    if kind == "GetCurrentAccessDelta":
+        dst = body["index_delta_minus1"]
+
+        def run_access_delta(vm, ap, fp):
+            st = _squash_state(vm)
+            prev = st.current_access_indices.pop()
+            vm.mem_set(_cell_addr(dst, ap, fp),
+                       st.current_access_indices[-1] - prev - 1)
+
+        return run_access_delta
+
+    if kind == "ShouldContinueSquashLoop":
+        dst = body["should_continue"]
+
+        def run_should_continue(vm, ap, fp):
+            st = _squash_state(vm)
+            vm.mem_set(_cell_addr(dst, ap, fp),
+                       1 if len(st.current_access_indices) > 1 else 0)
+
+        return run_should_continue
+
+    if kind == "GetNextDictKey":
+        dst = body["next_key"]
+
+        def run_next_key(vm, ap, fp):
+            st = _squash_state(vm)
+            st.keys.pop()
+            st.current_access_indices = []
+            vm.mem_set(_cell_addr(dst, ap, fp), st.current_key())
+
+        return run_next_key
+
+    if kind == "AllocConstantSize":
+        ops = body
+
+        def run_alloc_const(vm, ap, fp):
+            # a fresh segment serves as a buffer of at least `size` cells
+            _res_value(vm, ops["size"], ap, fp)
+            vm.mem_set(_cell_addr(ops["dst"], ap, fp), vm.add_segment())
+
+        return run_alloc_const
+
+    if kind == "DebugPrint":
+        ops = body
+
+        def run_debug_print(vm, ap, fp):
+            start = _res_value(vm, ops["start"], ap, fp)
+            end = _res_value(vm, ops["end"], ap, fp)
+            vals = vm.get_range(start, end.offset - start.offset)
+            print("[cairo1 debug]", [hex(v) if isinstance(v, int) else v
+                                     for v in vals])
+
+        return run_debug_print
 
     raise CairoVMError(f"unsupported Cairo1 hint {kind!r}")
 

@@ -431,6 +431,15 @@ HINT_IMPLS = {
 }
 
 
+# starkware stdlib families beyond the core math subset (memcpy/memset,
+# find_element, set, dict/squash_dict, uint256, the assert/split/sqrt
+# family) live in hints_stdlib.py; merged into the same registry so
+# execute_hint dispatches uniformly
+from . import hints_stdlib as _stdlib  # noqa: E402
+
+_stdlib.register(HINT_IMPLS, HintError)
+
+
 def execute_hint(vm, hint: Hint, references, ap, fp) -> None:
     impl = HINT_IMPLS.get(hint.code)
     if impl is None:

@@ -87,12 +87,41 @@ class CairoVM:
         # segment index -> deduction rule (builtins.DEDUCERS), mirroring
         # cairo-vm's deduce_memory_cell on first read of an output cell
         self._deducers: dict[int, object] = {}
+        # hint execution scopes (cairo-vm ExecutionScopes): a stack of dicts
+        # manipulated by the vm_enter_scope()/vm_exit_scope() hints; the
+        # root scope holds process-wide hint state (e.g. __dict_manager)
+        self.exec_scopes: list[dict] = [{}]
+
+    # -- hint execution scopes ------------------------------------------------
+
+    def enter_scope(self, new_vars: dict | None = None) -> None:
+        self.exec_scopes.append(dict(new_vars or {}))
+
+    def exit_scope(self) -> None:
+        if len(self.exec_scopes) <= 1:
+            raise CairoVMError("vm_exit_scope() with no scope to exit")
+        self.exec_scopes.pop()
+
+    def scope_get(self, name: str, default=None):
+        """Nearest-enclosing-scope lookup (superset of cairo-vm's
+        current-scope-only rule; keeps hand-built fixtures simple)."""
+        for scope in reversed(self.exec_scopes):
+            if name in scope:
+                return scope[name]
+        return default
+
+    def scope_set(self, name: str, value) -> None:
+        self.exec_scopes[-1][name] = value
 
     # -- segment helpers ----------------------------------------------------
 
     def add_segment(self) -> Relocatable:
         self.segments.append({})
         return Relocatable(len(self.segments) - 1, 0)
+
+    def get_range(self, addr: Relocatable, size: int) -> list:
+        """[mem[addr], ..., mem[addr+size-1]] (cairo-vm memory.get_range)."""
+        return [self.mem_get(addr + i) for i in range(size)]
 
     def mem_get(self, addr: Relocatable):
         seg = self.segments[addr.segment]
