@@ -11,9 +11,38 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
+import jax
+
 from ..field import device as fd
 from ..field.params import N_LIMBS
 from ..ntt import core as nttc
+
+
+@functools.partial(jax.jit, static_argnames=("small_idx", "felt_idx"))
+def _assemble_columns(small, felt, small_idx, felt_idx):
+    """(n_small, n_rows, 2) u32 + (n_felt, n_rows, 8) u32 LE words ->
+    Montgomery (16, n_cols, n_rows) u32 limbs, columns restored to
+    original order.  (u32 word pairs, not u64: jax runs with x64 off.)"""
+
+    def words_to_limbs(x, n_limbs):
+        return jnp.stack(
+            [(x[..., L // 2] >> (16 * (L % 2))) & 0xFFFF
+             for L in range(n_limbs)])
+
+    parts = []
+    if small.shape[0]:
+        lo = words_to_limbs(small, 4)                 # (4, n_small, n_rows)
+        pad = jnp.zeros((N_LIMBS - 4,) + lo.shape[1:], jnp.uint32)
+        parts.append(jnp.concatenate([lo, pad], axis=0))
+    if felt.shape[0]:
+        parts.append(words_to_limbs(felt, N_LIMBS))   # (16, n_felt, n_rows)
+    raw = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    order = list(small_idx) + list(felt_idx)
+    perm = np.argsort(np.asarray(order))
+    raw = jnp.take(raw, jnp.asarray(perm), axis=1)
+    return fd.to_mont(raw)
 
 
 class TraceTable:
@@ -30,31 +59,39 @@ class TraceTable:
 
     @classmethod
     def from_int_columns(cls, cols: list[list[int]]) -> "TraceTable":
-        """Vectorized ingest: most trace columns (registers, addresses,
-        offsets, flags, instructions) fit u64 and limb-split in numpy;
-        arbitrary-felt columns take the bytes path; the Montgomery
-        conversion runs as ONE device multiply by R^2 instead of a
-        per-value host bigint mulmod (which dominated trace generation —
-        27 s of a 33 s fib(10000) build)."""
-        import jax
-
+        """Vectorized ingest, transfer-minimal: columns that fit u64
+        (registers, addresses, offsets, flags, instructions) ship as ONE
+        u64 word per value and full-width felt columns as four u64 words
+        (32 B/felt) — the 16-limb u32 expansion (64 B/felt) and the
+        Montgomery conversion happen ON DEVICE.  Cuts host->device bytes
+        ~5x vs shipping the unpacked limb tensor (the device_put of the
+        1.4 GB raw array was 13.6 s of fib(70000)'s 23 s trace build over
+        the tunneled link)."""
         n_rows = len(cols[0])
-        n_cols = len(cols)
-        raw = np.zeros((N_LIMBS, n_cols, n_rows), dtype=np.uint32)
+        small_idx: list[int] = []
+        small_arrs: list[np.ndarray] = []
+        felt_idx: list[int] = []
+        felt_arrs: list[np.ndarray] = []
         for c, col in enumerate(cols):
             try:
                 a = np.asarray(col, dtype=np.uint64)
             except (OverflowError, TypeError):
-                a = None
-            if a is not None:
-                for k in range(4):
-                    raw[k, c] = (a >> np.uint64(16 * k)) & np.uint64(0xFFFF)
-            else:
                 buf = b"".join(v.to_bytes(32, "little") for v in col)
-                limbs = np.frombuffer(buf, dtype="<u2").reshape(n_rows,
-                                                                N_LIMBS)
-                raw[:, c, :] = limbs.T
-        return cls(jax.jit(fd.to_mont)(jnp.asarray(raw)))
+                w = np.frombuffer(buf, dtype="<u4").reshape(n_rows, 8)
+                felt_idx.append(c)
+                felt_arrs.append(w)
+                continue
+            small_idx.append(c)
+            small_arrs.append(
+                np.ascontiguousarray(a).view(np.uint32).reshape(n_rows, 2))
+        small = (np.stack(small_arrs) if small_arrs
+                 else np.zeros((0, n_rows, 2), np.uint32))
+        felt = (np.stack(felt_arrs) if felt_arrs
+                else np.zeros((0, n_rows, 8), np.uint32))
+        data = _assemble_columns(
+            jnp.asarray(small), jnp.asarray(felt),
+            tuple(small_idx), tuple(felt_idx))
+        return cls(data)
 
     @classmethod
     def from_columns(cls, cols: list[jnp.ndarray]) -> "TraceTable":

@@ -197,11 +197,10 @@ def _ntt_four_impl(x, twr, twc, tbl, log_n: int):
 def _ntt_dispatch(x, log_n: int, inverse: bool):
     from . import fused as fused_mod
 
-    if log_n >= fused_mod.FUSED_MIN_LOG and fused_mod.enabled():
-        # opt-in fused-stage Pallas path.  Measured v5e (tools/bench_fused.py):
-        #   2^17: 132.6 Mpts/s vs four-step 120.6 (1.10x)
-        #   2^19: 104.0 Mpts/s vs four-step 120.5 (0.86x)
-        # so the default stays the four-step dispatch below.
+    if fused_mod.use_fused(log_n):
+        # fused-stage Pallas path — DEFAULT at n >= 2^17 (measured table in
+        # fused.use_fused: >=90 Mpts/s through 2^21 vs the four-step plan's
+        # collapse to 27 once an inner factor reaches 2^10).
         return fused_mod.ntt_fused(x, log_n, inverse)
     if log_n >= FOUR_STEP_MIN_LOG:
         logr, logc = four_factors(log_n)

@@ -59,19 +59,39 @@ FUSED_MIN_LOG = CHUNK_LOG
 _LANE_LOG = 7            # stages with m < 128 pair within a lane row
 
 
-def enabled() -> bool:
-    """Fused path is OPT-IN (`LCP_FUSED_NTT=1`).
+DEFAULT_MIN_LOG = 17     # fused is the default at n >= 2^17 (see table)
 
-    Measured on a real v5e (tools/bench_fused.py, round-3 review): the
-    four-step path sustains ~120 Mpts/s at both 2^17 and 2^19; the fused
-    path reaches 132.6 Mpts/s at 2^17 (1.10x) but drops to 104.0 Mpts/s at
-    2^19 (0.86x) — the global-stage kernels lose to the four-step plan at
-    exactly the sizes the prover cares about, so it stays off by default
-    until it wins there."""
+
+def use_fused(log_n: int) -> bool:
+    """Fused path is the DEFAULT for log_n >= 17 (round-5 v5e measurement,
+    non-periodic input, per-transform best-of-3 after warm):
+
+        n      four-step   fused
+        2^17    70-74       169
+        2^18     176        327
+        2^19      67        165
+        2^20      33         91
+        2^21      27         90     [Mpts/s]
+
+    The four-step plan collapses whenever an inner factor reaches 2^10
+    (XLA materializes broadcast twiddles + strided quarter slices each
+    stage); the fused DIF kernels keep >=90 Mpts/s through 2^21, the
+    flagship LDE size.  `LCP_FUSED_NTT=0` force-disables (pure XLA
+    four-step); `LCP_FUSED_NTT=1` forces fused down to 2^12."""
     env = os.environ.get("LCP_FUSED_NTT")
-    if env is not None:
-        return env == "1"
-    return False
+    if env == "1":
+        return log_n >= FUSED_MIN_LOG
+    if env == "0":
+        return False
+    # Mosaic kernels only lower on real TPU; CPU (tests, virtual meshes)
+    # stays on the XLA four-step path unless interpret mode is forced.
+    return log_n >= DEFAULT_MIN_LOG and (
+        fd._pallas_enabled() or _FORCE_INTERPRET)
+
+
+def enabled() -> bool:
+    """Back-compat alias: is the fused path active at any size?"""
+    return use_fused(DEFAULT_MIN_LOG)
 
 
 # ---------------------------------------------------------------------------

@@ -184,7 +184,7 @@ class ProverKernels:
         def add_tw(log, inv):
             if log < 1:
                 return
-            if log >= fused_ntt.FUSED_MIN_LOG and fused_ntt.enabled():
+            if fused_ntt.use_fused(log):
                 # fused-stage Pallas path takes (local, global-stages) tables
                 ntt_tables[("fused", log, inv)] = fused_ntt.fused_tables(
                     log, inv)
