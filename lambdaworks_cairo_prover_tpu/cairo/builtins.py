@@ -155,8 +155,222 @@ def deduce_ec_op(cells: dict, offset: int):
     return rx if index == 5 else ry
 
 
+# ---------------------------------------------------------------------------
+# ECDSA signature builtin (cairo-vm SignatureBuiltinRunner semantics)
+# ---------------------------------------------------------------------------
+#
+# NOT a deduce-on-read builtin: each 2-cell instance [pub_key, message] is
+# written by the program, and the (r, s) signature arrives separately via
+# the stdlib verify_ecdsa_signature hint (`ecdsa_builtin.add_signature`).
+# The VM validates the instance when both cells are present (vm.py mem_set
+# validation hook), exactly like cairo-vm's validation rules.  Constants
+# are the cairo-lang signature parameters (starkware fast_pedersen/ecdsa).
+
+ECDSA_CELLS_PER_INSTANCE = 2  # [pub_key, message]
+
+EC_ORDER = 0x800000000000010FFFFFFFFFFFFFFFFB781126DCAE7B2321E66A241ADC64D2F
+EC_GEN = (
+    0x1EF15C18599971B7BECED415A40F0C7DEACFD9B0D1819E03D723D8BC943CFCA,
+    0x5668060AA49730B7BE4801DF46EC62DE53ECD11ABE43A32873000C36E8DC1F,
+)
+
+
+def sqrt_mod_p(a: int) -> int | None:
+    """Tonelli–Shanks square root mod the Stark prime (p = 1 mod 4);
+    None when `a` is a non-residue."""
+    a %= P
+    if a == 0:
+        return 0
+    if pow(a, (P - 1) // 2, P) != 1:
+        return None
+    # factor p-1 = q * 2^s
+    q, s = P - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    # find a non-residue
+    z = 2
+    while pow(z, (P - 1) // 2, P) != P - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, P), pow(a, q, P), pow(a, (q + 1) // 2, P)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % P
+            i += 1
+        b = pow(c, 1 << (m - i - 1), P)
+        m, c = i, b * b % P
+        t, r = t * c % P, r * b % P
+    return r
+
+
+def recover_y(x: int) -> int | None:
+    """A y with (x, y) on the STARK curve, or None if x is not on it."""
+    return sqrt_mod_p((pow(x, 3, P) + ALPHA * x + BETA) % P)
+
+
+def verify_ecdsa(pub_x: int, msg: int, r: int, s: int) -> bool:
+    """STARK-curve ECDSA verification (starkware signature.py `verify`):
+    with w = s^-1 mod EC_ORDER, valid iff r == x(msg*w*G + r*w*Q) for
+    either candidate public-key point Q = (pub_x, ±y)."""
+    if not (1 <= r < 1 << 251) or not (1 <= s < EC_ORDER):
+        return False
+    if msg >> 251:
+        return False
+    y = recover_y(pub_x)
+    if y is None:
+        return False
+    w = pow(s, EC_ORDER - 2, EC_ORDER)
+    u1 = msg * w % EC_ORDER
+    u2 = r * w % EC_ORDER
+    base = _ec_mul(u1, EC_GEN) if u1 else None
+    for cand_y in (y, P - y):
+        pt = _ec_add(base, _ec_mul(u2, (pub_x, cand_y)))
+        if pt is not None and pt[0] == r:
+            return True
+    return False
+
+
+def ecdsa_sign(priv_key: int, msg: int, k: int) -> tuple[int, int]:
+    """Deterministic-k signing (starkware signature.py `sign`); test/fixture
+    helper — the builtin itself only verifies."""
+    if not (1 <= k < EC_ORDER):
+        raise ValueError("k out of range")
+    r = _ec_mul(k, EC_GEN)[0]
+    if not (1 <= r < 1 << 251):
+        raise ValueError("bad k: r out of range, pick another")
+    denom = (msg + r * priv_key) % EC_ORDER
+    if denom == 0:
+        raise ValueError("bad k: msg + r*priv == 0 mod order")
+    w = k * pow(denom, EC_ORDER - 2, EC_ORDER) % EC_ORDER
+    if not (1 <= w < 1 << 251):
+        raise ValueError("bad k: w out of range, pick another")
+    s = pow(w, EC_ORDER - 2, EC_ORDER)
+    return r, s
+
+
+# ---------------------------------------------------------------------------
+# keccak builtin (cairo-vm KeccakBuiltinRunner deduction)
+# ---------------------------------------------------------------------------
+
+KECCAK_CELLS_PER_INSTANCE = 16  # 8 input + 8 output felts of 200 bits
+_KECCAK_FELT_BITS = 200
+_KECCAK_FELT_MASK = (1 << _KECCAK_FELT_BITS) - 1
+
+
+def keccak_builtin_permute(inputs: list[int]) -> list[int]:
+    """keccak-f[1600] over 8x200-bit input felts (little-endian packing),
+    returning 8x200-bit output felts — cairo-vm keccak_instance_def
+    semantics (state bit k = bit k%200 of felt k//200)."""
+    from ..hash.keccak_host import keccak_f
+
+    acc = 0
+    for i, v in enumerate(inputs):
+        if v >> _KECCAK_FELT_BITS:
+            raise ValueError(
+                f"keccak builtin input {v:#x} exceeds {_KECCAK_FELT_BITS} "
+                f"bits")
+        acc |= v << (_KECCAK_FELT_BITS * i)
+    raw = acc.to_bytes(200, "little")
+    lanes = [int.from_bytes(raw[8 * j: 8 * j + 8], "little")
+             for j in range(25)]
+    out_lanes = keccak_f(lanes)
+    out_acc = int.from_bytes(
+        b"".join(v.to_bytes(8, "little") for v in out_lanes), "little")
+    return [(out_acc >> (_KECCAK_FELT_BITS * j)) & _KECCAK_FELT_MASK
+            for j in range(8)]
+
+
+def deduce_keccak(cells: dict, offset: int):
+    """Cells 8..15 of a 16-cell instance from the 8 input felts."""
+    index = offset % KECCAK_CELLS_PER_INSTANCE
+    if index < 8:
+        return None
+    base = offset - index
+    vals = [cells.get(base + i) for i in range(8)]
+    if not all(isinstance(v, int) for v in vals):
+        return None
+    return keccak_builtin_permute(vals)[index - 8]
+
+
+# ---------------------------------------------------------------------------
+# poseidon builtin (cairo-vm PoseidonBuiltinRunner deduction)
+# ---------------------------------------------------------------------------
+#
+# Starknet Poseidon over the Stark252 field: state width m = 3 (rate 2,
+# capacity 1), 8 full + 83 partial Hades rounds, S-box x^3 (partial rounds
+# s-box the LAST state element), MDS [[3,1,1],[1,-1,1],[1,1,-2]], round
+# constants ark[i][j] = sha256("Hades" + str(3*i+j)) mod p — the exact
+# generation rule of cairo-lang's poseidon_utils.py.  (The canonical
+# cross-check against cairo-lang itself is environment-blocked — no
+# package, no egress; tests pin a self-generated vector for regression.)
+
+POSEIDON_CELLS_PER_INSTANCE = 6  # 3 input + 3 output felts
+_POSEIDON_FULL_ROUNDS = 8
+_POSEIDON_PARTIAL_ROUNDS = 83
+_POSEIDON_MDS = ((3, 1, 1), (1, P - 1, 1), (1, 1, P - 2))
+
+_poseidon_ark: list | None = None
+
+
+def _poseidon_constants():
+    global _poseidon_ark
+    if _poseidon_ark is None:
+        from hashlib import sha256
+
+        n_rounds = _POSEIDON_FULL_ROUNDS + _POSEIDON_PARTIAL_ROUNDS
+        _poseidon_ark = [
+            [int.from_bytes(
+                sha256(f"Hades{3 * i + j}".encode()).digest(), "big") % P
+             for j in range(3)]
+            for i in range(n_rounds)
+        ]
+    return _poseidon_ark
+
+
+def hades_permutation(values: list[int]) -> list[int]:
+    """cairo-lang poseidon_utils.hades_permutation (width-3 state)."""
+    ark = _poseidon_constants()
+    state = [v % P for v in values]
+    half_full = _POSEIDON_FULL_ROUNDS // 2
+    r = 0
+
+    def rnd(full: bool):
+        nonlocal state, r
+        state = [(v + c) % P for v, c in zip(state, ark[r])]
+        if full:
+            state = [pow(v, 3, P) for v in state]
+        else:
+            state[2] = pow(state[2], 3, P)
+        state = [sum(m * v for m, v in zip(row, state)) % P
+                 for row in _POSEIDON_MDS]
+        r += 1
+
+    for _ in range(half_full):
+        rnd(True)
+    for _ in range(_POSEIDON_PARTIAL_ROUNDS):
+        rnd(False)
+    for _ in range(half_full):
+        rnd(True)
+    return state
+
+
+def deduce_poseidon(cells: dict, offset: int):
+    """Cells 3..5 of a 6-cell instance: hades_permutation of cells 0..2."""
+    index = offset % POSEIDON_CELLS_PER_INSTANCE
+    if index < 3:
+        return None
+    base = offset - index
+    vals = [cells.get(base + i) for i in range(3)]
+    if not all(isinstance(v, int) for v in vals):
+        return None
+    return hades_permutation(vals)[index - 3]
+
+
 DEDUCERS = {
     "bitwise": deduce_bitwise,
     "pedersen": deduce_pedersen,
     "ec_op": deduce_ec_op,
+    "keccak": deduce_keccak,
+    "poseidon": deduce_poseidon,
 }

@@ -381,6 +381,9 @@ def _compile_hint(hint: dict):
                 key = vm.mem_get(address + 3 * i)
                 st.access_indices.setdefault(key, []).append(i)
             st.keys = sorted(st.access_indices.keys(), reverse=True)
+            if not st.keys:
+                raise CairoVMError(
+                    "InitSquashData: no dict accesses (empty keys)")
             vm.mem_set(_cell_addr(ops["big_keys"], ap, fp),
                        1 if st.keys[0] >= _U128 else 0)
             vm.mem_set(_cell_addr(ops["first_key"], ap, fp),
@@ -452,6 +455,116 @@ def _compile_hint(hint: dict):
             vm.mem_set(_cell_addr(ops["dst"], ap, fp), vm.add_segment())
 
         return run_alloc_const
+
+    if kind == "Uint512DivModByUint256":
+        ops = body
+
+        def run_u512_divmod(vm, ap, fp):
+            d = [_as_int(_res_value(vm, ops[f"dividend{i}"], ap, fp))
+                 for i in range(4)]
+            dv = [_as_int(_res_value(vm, ops[f"divisor{i}"], ap, fp))
+                  for i in range(2)]
+            dividend = sum(x << (128 * i) for i, x in enumerate(d))
+            divisor = dv[0] | (dv[1] << 128)
+            if divisor == 0:
+                raise CairoVMError("Uint512DivModByUint256 by zero")
+            q, r = divmod(dividend, divisor)
+            for i in range(4):
+                vm.mem_set(_cell_addr(ops[f"quotient{i}"], ap, fp),
+                           (q >> (128 * i)) & (_U128 - 1))
+            for i in range(2):
+                vm.mem_set(_cell_addr(ops[f"remainder{i}"], ap, fp),
+                           (r >> (128 * i)) & (_U128 - 1))
+
+        return run_u512_divmod
+
+    if kind == "RandomEcPoint":
+        ops = body
+
+        def run_random_ec_point(vm, ap, fp):
+            # deterministic scan for a curve point (any valid point makes
+            # the guarantee logic sound; cairo-vm samples randomly)
+            from .builtins import ALPHA, BETA, P as _P, sqrt_mod_p
+
+            x = 1
+            while True:
+                y = sqrt_mod_p((pow(x, 3, _P) + ALPHA * x + BETA) % _P)
+                if y is not None:
+                    break
+                x += 1
+            vm.mem_set(_cell_addr(ops["x"], ap, fp), x)
+            vm.mem_set(_cell_addr(ops["y"], ap, fp), min(y, _P - y))
+
+        return run_random_ec_point
+
+    if kind == "FieldSqrt":
+        ops = body
+
+        def run_field_sqrt(vm, ap, fp):
+            # sqrt of val when QR, else sqrt of 3*val (3 is a non-residue
+            # mod the Stark prime); the smaller root is written — cairo-vm
+            # Cairo1HintProcessor FieldSqrt semantics
+            from .builtins import P as _P, sqrt_mod_p
+
+            val = _as_int(_res_value(vm, ops["val"], ap, fp)) % _P
+            r = sqrt_mod_p(val)
+            if r is None:
+                r = sqrt_mod_p(3 * val % _P)
+                if r is None:
+                    raise CairoVMError("FieldSqrt: 3*val also a non-residue")
+            vm.mem_set(_cell_addr(ops["sqrt"], ap, fp), min(r, _P - r))
+
+        return run_field_sqrt
+
+    if kind == "U256InvModN":
+        ops = body
+
+        def run_u256_inv_mod_n(vm, ap, fp):
+            """Extended-gcd witness for b^-1 mod n over Uint256 limbs
+            (cairo-vm U256InvModN): when gcd == 1 writes the inverse limbs
+            + Bezout witnesses through `g0_or_no_inv == 0`; otherwise
+            writes the gcd limbs with g0_or_no_inv != 0."""
+            b = (_as_int(_res_value(vm, ops["b0"], ap, fp))
+                 | _as_int(_res_value(vm, ops["b1"], ap, fp)) << 128)
+            n = (_as_int(_res_value(vm, ops["n0"], ap, fp))
+                 | _as_int(_res_value(vm, ops["n1"], ap, fp)) << 128)
+
+            def ext_gcd(a, m):
+                old_r, r = a, m
+                old_s, s = 1, 0
+                while r:
+                    qt = old_r // r
+                    old_r, r = r, old_r - qt * r
+                    old_s, s = s, old_s - qt * s
+                return old_r, old_s
+
+            g = ext_gcd(b % n, n)[0] if n > 1 else 1
+            if n > 1 and g == 1:
+                inv = ext_gcd(b % n, n)[1] % n
+                vm.mem_set(_cell_addr(ops["g0_or_no_inv"], ap, fp), 0)
+                vm.mem_set(_cell_addr(ops["s_or_r0"], ap, fp),
+                           inv & (_U128 - 1))
+                vm.mem_set(_cell_addr(ops["s_or_r1"], ap, fp), inv >> 128)
+                t = (inv * b - 1) // n  # Bezout co-witness: inv*b - 1 = t*n
+                vm.mem_set(_cell_addr(ops["t_or_k0"], ap, fp),
+                           t & (_U128 - 1))
+                vm.mem_set(_cell_addr(ops["t_or_k1"], ap, fp), t >> 128)
+            else:
+                # no inverse (gcd > 1), or the degenerate n == 1: publish a
+                # common divisor g with its cofactor witnesses b = r*g,
+                # n = k*g (the corelib checks exactly these products)
+                r_w, k_w = b // g, n // g
+                vm.mem_set(_cell_addr(ops["g0_or_no_inv"], ap, fp),
+                           g & (_U128 - 1))
+                vm.mem_set(_cell_addr(ops["g1_option"], ap, fp), g >> 128)
+                vm.mem_set(_cell_addr(ops["s_or_r0"], ap, fp),
+                           r_w & (_U128 - 1))
+                vm.mem_set(_cell_addr(ops["s_or_r1"], ap, fp), r_w >> 128)
+                vm.mem_set(_cell_addr(ops["t_or_k0"], ap, fp),
+                           k_w & (_U128 - 1))
+                vm.mem_set(_cell_addr(ops["t_or_k1"], ap, fp), k_w >> 128)
+
+        return run_u256_inv_mod_n
 
     if kind == "DebugPrint":
         ops = body

@@ -33,6 +33,8 @@ still raises `UnknownHintError` loudly (hints.py:execute_hint).
 
 from __future__ import annotations
 
+import re
+
 from ..field.params import P
 
 RC_BOUND = 1 << 128
@@ -65,12 +67,40 @@ def _as_int(v: int) -> int:
 
 
 def _ids_get(ids, name, default=None):
+    """ids.<name>, falling back to `default` ONLY when the hint carries no
+    reference for the name (hand-assembled fixtures omitting stdlib
+    constants).  A present-but-broken reference (uninitialized cell, bad
+    AST) propagates — silently substituting the canonical constant would
+    mask real program errors (advisor finding, round 4)."""
     try:
         return ids.get(name)
-    except Exception:
-        if default is None:
-            raise
-        return default
+    except HintError as e:
+        if default is not None and "no reference for ids." in str(e):
+            return default
+        raise
+
+
+_PTR_CAST_RE = re.compile(r",[^,()]*?(\*+)\s*\)\s*\]?\s*$")
+
+
+def _member_addr(ids, name, offset):
+    """Address of member `offset` of `ids.<name>`, T vs T* aware.
+
+    cairo-vm resolves `ids.x.member` through the reference's cast type: a
+    struct-typed reference (T, deref-shaped) has the member at
+    addr(x) + offset; a pointer-typed reference (T*, e.g.
+    squash_dict_inner's `let loop_temps = cast(ap, LoopTemps*)` — NOT an
+    addressable cell) has it at value(x) + offset.  Pointer depth = stars
+    on the top-level cast type minus one if the reference itself is a
+    deref (`[cast(..., T*)]` holds a T value, `[cast(..., T**)]` a T*)."""
+    ref = ids._reference(name)
+    m = _PTR_CAST_RE.search(ref.value)
+    stars = len(m.group(1)) if m else 0
+    if ref.value.lstrip().startswith("["):
+        stars -= 1
+    if stars >= 1 or ref.ast[0] != "deref":
+        return ids._vm._add(ids.get(name), offset)
+    return ids.get_address(name) + offset
 
 
 def _felt(v):
@@ -78,11 +108,6 @@ def _felt(v):
     if isinstance(v, Relocatable):
         raise HintError(f"expected a felt, got relocatable {v}")
     return v
-
-
-def _member_addr(ids, name, offset):
-    """Address of member `offset` of struct-typed `ids.<name>`."""
-    return ids.get_address(name) + offset
 
 
 def _u256_read(vm, ids, name):
@@ -436,7 +461,7 @@ def _h_find_element(vm, ids, ap, fp):
     if not elm_size > 0:
         raise HintError(f"Invalid value for elm_size. Got: {elm_size}.")
     key = ids.key
-    forced = vm.scope_get("__find_element_index")
+    forced = vm.scope_get_local("__find_element_index")
     if forced is not None:
         found_key = vm.mem_get(array_ptr + elm_size * forced)
         if found_key != key:
@@ -444,9 +469,7 @@ def _h_find_element(vm, ids, ap, fp):
                 f"Invalid index found in __find_element_index. index: "
                 f"{forced}, expected key {key}, found key: {found_key}.")
         ids.set("index", forced)
-        for scope in reversed(vm.exec_scopes):  # del __find_element_index
-            if scope.pop("__find_element_index", None) is not None:
-                break
+        vm.exec_scopes[-1].pop("__find_element_index", None)
         return
     n_elms = _felt(ids.n_elms)
     max_size = vm.scope_get("__find_element_max_size")
@@ -686,7 +709,9 @@ _LT_SHOULD_CONTINUE = 3
 
 def _h_dict_new(vm, ids, ap, fp):
     mgr = _dict_manager(vm)
-    initial = vm.scope_get("initial_dict")
+    # current-scope-only: a stale initial_dict from an enclosing scope must
+    # fail loudly here exactly as the reference VM's hint globals would
+    initial = vm.scope_get_local("initial_dict")
     if initial is None:
         raise HintError("dict_new with no initial_dict in scope")
     vm.mem_set(ap, mgr.new_dict(vm, initial))
@@ -764,6 +789,8 @@ def _h_squash_dict(vm, ids, ap, fp):
         key = _felt(vm.mem_get(address + DICT_ACCESS_SIZE * i))
         access_indices.setdefault(key, []).append(i)
     keys = sorted(access_indices.keys(), reverse=True)
+    if not keys:
+        raise HintError("squash_dict called with no accesses (empty keys)")
     ids.set("big_keys", 1 if keys[0] >= RC_BOUND else 0)
     first = keys.pop()
     ids.set("first_key", first)
@@ -940,8 +967,513 @@ def _h_uint256_mul_div_mod(vm, ids, ap, fp):
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# usort.cairo
+# ---------------------------------------------------------------------------
+
+USORT_ENTER_SCOPE = (
+    "vm_enter_scope(dict(__usort_max_size = "
+    "globals().get('__usort_max_size')))"
+)
+
+USORT_BODY = (
+    "from collections import defaultdict\n\n"
+    "input_ptr = ids.input\n"
+    "input_len = int(ids.input_len)\n"
+    "if __usort_max_size is not None:\n"
+    "    assert input_len <= __usort_max_size, (\n"
+    "        f\"usort() can only be used with input_len<="
+    "{__usort_max_size}. \"\n"
+    "        f\"Got: input_len={input_len}.\"\n"
+    "    )\n\n"
+    "positions_dict = defaultdict(list)\n"
+    "for i in range(input_len):\n"
+    "    val = memory[input_ptr + i]\n"
+    "    positions_dict[val].append(i)\n\n"
+    "output = sorted(positions_dict.keys())\n"
+    "for i, val in enumerate(output):\n"
+    "    memory[ids.output + i] = val\n"
+    "ids.output_len = len(output)"
+)
+
+USORT_VERIFY = "last_pos = 0\npositions = positions_dict[ids.value][::-1]"
+
+USORT_VERIFY_MULTIPLICITY_ASSERT = "assert len(positions) == 0"
+
+USORT_VERIFY_MULTIPLICITY_BODY = (
+    "current_pos = positions.pop()\n"
+    "ids.next_item_index = current_pos - last_pos\n"
+    "last_pos = current_pos + 1"
+)
+
+
+def _h_usort_enter_scope(vm, ids, ap, fp):
+    vm.enter_scope({"__usort_max_size": vm.scope_get("__usort_max_size")})
+
+
+def _h_usort_body(vm, ids, ap, fp):
+    input_ptr = ids.get("input")
+    input_len = _felt(ids.input_len)
+    max_size = vm.scope_get_local("__usort_max_size")
+    if max_size is not None and input_len > max_size:
+        raise HintError(
+            f"usort() can only be used with input_len<={max_size}. "
+            f"Got: input_len={input_len}.")
+    positions_dict: dict = {}
+    for i in range(input_len):
+        val = vm.mem_get(input_ptr + i)
+        if val is None:
+            raise HintError(f"usort: uninitialized input cell {i}")
+        positions_dict.setdefault(val, []).append(i)
+    output = sorted(positions_dict.keys())
+    out_ptr = ids.get("output")
+    for i, val in enumerate(output):
+        vm.mem_set(out_ptr + i, val)
+    ids.set("output_len", len(output))
+    vm.scope_set("positions_dict", positions_dict)
+
+
+def _h_usort_verify(vm, ids, ap, fp):
+    pd = vm.scope_get("positions_dict")
+    if pd is None:
+        raise HintError("usort verify without positions_dict in scope")
+    vm.scope_set("last_pos", 0)
+    vm.scope_set("positions", list(reversed(pd.get(_felt(ids.value), []))))
+
+
+def _h_usort_multiplicity_assert(vm, ids, ap, fp):
+    positions = vm.scope_get("positions")
+    if positions is None or len(positions) != 0:
+        raise HintError("assert len(positions) == 0 failed")
+
+
+def _h_usort_multiplicity_body(vm, ids, ap, fp):
+    positions = vm.scope_get("positions")
+    if not positions:
+        raise HintError("usort multiplicity body with no positions left")
+    current_pos = positions.pop()
+    last_pos = vm.scope_get("last_pos") or 0
+    ids.set("next_item_index", (current_pos - last_pos) % P)
+    vm.scope_set("last_pos", current_pos + 1)
+
+
+# ---------------------------------------------------------------------------
+# cairo_blake2s (blake2s.cairo + blake2s_utils.py)
+# ---------------------------------------------------------------------------
+
+BLAKE2S_IV = (0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+              0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19)
+
+_BLAKE2S_SIGMA = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    (11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    (7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    (9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    (2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    (12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    (13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    (6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    (10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0),
+)
+
+_U32 = (1 << 32) - 1
+
+
+def _rotr32(x, n):
+    return ((x >> n) | (x << (32 - n))) & _U32
+
+
+def blake2s_compress(message, h, t0, t1, f0, f1):
+    """One blake2s compression (cairo-lang blake2s_utils.blake2s_compress);
+    message: 16 u32 words, h: 8 u32 words.  Pinned to hashlib.blake2s by
+    tests/test_hint_crypto.py."""
+    v = list(h) + list(BLAKE2S_IV[:4]) + [
+        BLAKE2S_IV[4] ^ t0, BLAKE2S_IV[5] ^ t1,
+        BLAKE2S_IV[6] ^ f0, BLAKE2S_IV[7] ^ f1,
+    ]
+
+    def g(a, b, c, d, x, y):
+        v[a] = (v[a] + v[b] + x) & _U32
+        v[d] = _rotr32(v[d] ^ v[a], 16)
+        v[c] = (v[c] + v[d]) & _U32
+        v[b] = _rotr32(v[b] ^ v[c], 12)
+        v[a] = (v[a] + v[b] + y) & _U32
+        v[d] = _rotr32(v[d] ^ v[a], 8)
+        v[c] = (v[c] + v[d]) & _U32
+        v[b] = _rotr32(v[b] ^ v[c], 7)
+
+    for s in _BLAKE2S_SIGMA:
+        g(0, 4, 8, 12, message[s[0]], message[s[1]])
+        g(1, 5, 9, 13, message[s[2]], message[s[3]])
+        g(2, 6, 10, 14, message[s[4]], message[s[5]])
+        g(3, 7, 11, 15, message[s[6]], message[s[7]])
+        g(0, 5, 10, 15, message[s[8]], message[s[9]])
+        g(1, 6, 11, 12, message[s[10]], message[s[11]])
+        g(2, 7, 8, 13, message[s[12]], message[s[13]])
+        g(3, 4, 9, 14, message[s[14]], message[s[15]])
+    return [hh ^ v[i] ^ v[i + 8] for i, hh in enumerate(h)]
+
+
+BLAKE2S_COMPUTE = (
+    "from starkware.cairo.common.cairo_blake2s.blake2s_utils import "
+    "compute_blake2s_func\ncompute_blake2s_func(segments=segments, "
+    "output_ptr=ids.output)"
+)
+
+BLAKE2S_ADD_UINT256 = (
+    "B = 32\n"
+    "MASK = 2 ** 32 - 1\n"
+    "segments.write_arg(ids.data, [(ids.low >> (B * i)) & MASK for i in "
+    "range(4)])\n"
+    "segments.write_arg(ids.data + 4, [(ids.high >> (B * i)) & MASK for i "
+    "in range(4)])"
+)
+
+BLAKE2S_ADD_UINT256_BIGEND = (
+    "B = 32\n"
+    "MASK = 2 ** 32 - 1\n"
+    "segments.write_arg(ids.data, [(ids.high >> (B * (3 - i))) & MASK for "
+    "i in range(4)])\n"
+    "segments.write_arg(ids.data + 4, [(ids.low >> (B * (3 - i))) & MASK "
+    "for i in range(4)])"
+)
+
+BLAKE2S_FINALIZE = (
+    "# Add dummy pairs of input and output.\n"
+    "from starkware.cairo.common.cairo_blake2s.blake2s_utils import IV, "
+    "blake2s_compress\n\n"
+    "_n_packed_instances = int(ids.N_PACKED_INSTANCES)\n"
+    "assert 0 <= _n_packed_instances < 20\n"
+    "_blake2s_input_chunk_size_felts = int(ids.INPUT_BLOCK_FELTS)\n"
+    "assert 0 <= _blake2s_input_chunk_size_felts < 100\n\n"
+    "message = [0] * _blake2s_input_chunk_size_felts\n"
+    "modified_iv = [IV[0] ^ 0x01010020] + IV[1:]\n"
+    "output = blake2s_compress(\n"
+    "    message=message,\n"
+    "    h=modified_iv,\n"
+    "    t0=0,\n"
+    "    t1=0,\n"
+    "    f0=0xffffffff,\n"
+    "    f1=0,\n"
+    ")\n"
+    "padded_output = []\n"
+    "for _ in range(_n_packed_instances - 1):\n"
+    "    padded_output += message + modified_iv + [0, 0xffffffff] + "
+    "output\n"
+    "segments.write_arg(ids.blake2s_ptr_end, padded_output)"
+)
+
+
+def _write_arg(vm, ptr, values):
+    for i, v in enumerate(values):
+        vm.mem_set(ptr + i, v)
+
+
+def _h_blake2s_compute(vm, ids, ap, fp):
+    """compute_blake2s_func: state layout before output_ptr is
+    [h(8) | message(16) | t | f]; writes the new 8-word state at output."""
+    out = ids.get("output")
+    h = vm.get_range(out - 26, 8)
+    message = vm.get_range(out - 18, 16)
+    t = vm.mem_get(out - 2)
+    f = vm.mem_get(out - 1)
+    if None in h or None in message or t is None or f is None:
+        raise HintError("blake2s_compute: uninitialized state cells")
+    _write_arg(vm, out, blake2s_compress(message, h, t, 0, f, 0))
+
+
+def _h_blake2s_add_uint256(vm, ids, ap, fp):
+    data = ids.get("data")
+    low, high = _felt(ids.low), _felt(ids.high)
+    _write_arg(vm, data, [(low >> (32 * i)) & _U32 for i in range(4)])
+    _write_arg(vm, data + 4, [(high >> (32 * i)) & _U32 for i in range(4)])
+
+
+def _h_blake2s_add_uint256_bigend(vm, ids, ap, fp):
+    data = ids.get("data")
+    low, high = _felt(ids.low), _felt(ids.high)
+    _write_arg(vm, data,
+               [(high >> (32 * (3 - i))) & _U32 for i in range(4)])
+    _write_arg(vm, data + 4,
+               [(low >> (32 * (3 - i))) & _U32 for i in range(4)])
+
+
+def _h_blake2s_finalize(vm, ids, ap, fp):
+    n_packed = _ids_get(ids, "N_PACKED_INSTANCES", 7)
+    if not 0 <= n_packed < 20:
+        raise HintError(f"bad N_PACKED_INSTANCES {n_packed}")
+    chunk = _ids_get(ids, "INPUT_BLOCK_FELTS", 16)
+    if not 0 <= chunk < 100:
+        raise HintError(f"bad INPUT_BLOCK_FELTS {chunk}")
+    message = [0] * chunk
+    modified_iv = [BLAKE2S_IV[0] ^ 0x01010020] + list(BLAKE2S_IV[1:])
+    output = blake2s_compress(message, modified_iv, 0, 0, 0xFFFFFFFF, 0)
+    padded = []
+    for _ in range(n_packed - 1):
+        padded += message + modified_iv + [0, 0xFFFFFFFF] + output
+    _write_arg(vm, ids.get("blake2s_ptr_end"), padded)
+
+
+# ---------------------------------------------------------------------------
+# cairo_sha256 (sha256.cairo + sha256_utils.py)
+# ---------------------------------------------------------------------------
+
+SHA256_IV = (0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+             0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19)
+
+_SHA256_K = (
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
+    0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3,
+    0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174, 0xE49B69C1, 0xEFBE4786,
+    0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147,
+    0x06CA6351, 0x14292967, 0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13,
+    0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85, 0xA2BFE8A1, 0xA81A664B,
+    0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A,
+    0x5B9CCA4F, 0x682E6FF3, 0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208,
+    0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+)
+
+
+def compute_message_schedule(message):
+    """64-entry sha256 message schedule from 16 u32 words."""
+    w = list(message)
+    for i in range(16, 64):
+        s0 = _rotr32(w[i - 15], 7) ^ _rotr32(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = _rotr32(w[i - 2], 17) ^ _rotr32(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & _U32)
+    return w
+
+
+def sha2_compress_function(state, w):
+    """One sha256 compression (cairo-lang sha256_utils); pinned to
+    hashlib.sha256 by tests/test_hint_crypto.py."""
+    a, b, c, d, e, f, g, h = state
+    for i in range(64):
+        s1 = _rotr32(e, 6) ^ _rotr32(e, 11) ^ _rotr32(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = (h + s1 + ch + _SHA256_K[i] + w[i]) & _U32
+        s0 = _rotr32(a, 2) ^ _rotr32(a, 13) ^ _rotr32(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (s0 + maj) & _U32
+        h, g, f, e, d, c, b, a = (g, f, e, (d + t1) & _U32, c, b, a,
+                                  (t1 + t2) & _U32)
+    return [(x + y) & _U32 for x, y in zip(state, (a, b, c, d, e, f, g, h))]
+
+
+SHA256_MAIN_CONSTANT_INPUT_LENGTH = (
+    "from starkware.cairo.common.cairo_sha256.sha256_utils import (\n"
+    "    IV, compute_message_schedule, sha2_compress_function)\n\n"
+    "_sha256_input_chunk_size_felts = int("
+    "ids.SHA256_INPUT_CHUNK_SIZE_FELTS)\n"
+    "assert 0 <= _sha256_input_chunk_size_felts < 100\n\n"
+    "w = compute_message_schedule(memory.get_range(\n"
+    "    ids.sha256_start, _sha256_input_chunk_size_felts))\n"
+    "new_state = sha2_compress_function(IV, w)\n"
+    "segments.write_arg(ids.output, new_state)"
+)
+
+SHA256_MAIN_ARBITRARY_INPUT_LENGTH = (
+    "from starkware.cairo.common.cairo_sha256.sha256_utils import (\n"
+    "    compute_message_schedule, sha2_compress_function)\n\n"
+    "_sha256_input_chunk_size_felts = int("
+    "ids.SHA256_INPUT_CHUNK_SIZE_FELTS)\n"
+    "assert 0 <= _sha256_input_chunk_size_felts < 100\n"
+    "_sha256_state_size_felts = int(ids.SHA256_STATE_SIZE_FELTS)\n"
+    "assert 0 <= _sha256_state_size_felts < 100\n"
+    "w = compute_message_schedule(memory.get_range(\n"
+    "    ids.sha256_start, _sha256_input_chunk_size_felts))\n"
+    "new_state = sha2_compress_function(memory.get_range(ids.state, "
+    "_sha256_state_size_felts), w)\n"
+    "segments.write_arg(ids.output, new_state)"
+)
+
+SHA256_FINALIZE = (
+    "# Add dummy pairs of input and output.\n"
+    "from starkware.cairo.common.cairo_sha256.sha256_utils import (\n"
+    "    IV, compute_message_schedule, sha2_compress_function)\n\n"
+    "_block_size = int(ids.BLOCK_SIZE)\n"
+    "assert 0 <= _block_size < 20\n"
+    "_sha256_input_chunk_size_felts = int("
+    "ids.SHA256_INPUT_CHUNK_SIZE_FELTS)\n"
+    "assert 0 <= _sha256_input_chunk_size_felts < 100\n\n"
+    "message = [0] * _sha256_input_chunk_size_felts\n"
+    "w = compute_message_schedule(message)\n"
+    "output = sha2_compress_function(IV, w)\n"
+    "padding = (message + IV + output) * (_block_size - 1)\n"
+    "segments.write_arg(ids.sha256_ptr_end, padding)"
+)
+
+
+def _h_sha256_main_constant(vm, ids, ap, fp):
+    chunk = _ids_get(ids, "SHA256_INPUT_CHUNK_SIZE_FELTS", 16)
+    if not 0 <= chunk < 100:
+        raise HintError(f"bad SHA256_INPUT_CHUNK_SIZE_FELTS {chunk}")
+    message = vm.get_range(ids.get("sha256_start"), chunk)
+    if None in message:
+        raise HintError("sha256: uninitialized input cells")
+    w = compute_message_schedule(message)
+    _write_arg(vm, ids.get("output"),
+               sha2_compress_function(list(SHA256_IV), w))
+
+
+def _h_sha256_main_arbitrary(vm, ids, ap, fp):
+    chunk = _ids_get(ids, "SHA256_INPUT_CHUNK_SIZE_FELTS", 16)
+    state_size = _ids_get(ids, "SHA256_STATE_SIZE_FELTS", 8)
+    if not 0 <= chunk < 100 or not 0 <= state_size < 100:
+        raise HintError("bad sha256 size constants")
+    message = vm.get_range(ids.get("sha256_start"), chunk)
+    state = vm.get_range(ids.get("state"), state_size)
+    if None in message or None in state:
+        raise HintError("sha256: uninitialized input/state cells")
+    w = compute_message_schedule(message)
+    _write_arg(vm, ids.get("output"), sha2_compress_function(state, w))
+
+
+def _h_sha256_finalize(vm, ids, ap, fp):
+    block_size = _ids_get(ids, "BLOCK_SIZE", 7)
+    chunk = _ids_get(ids, "SHA256_INPUT_CHUNK_SIZE_FELTS", 16)
+    if not 0 <= block_size < 20 or not 0 <= chunk < 100:
+        raise HintError("bad sha256 finalize constants")
+    message = [0] * chunk
+    output = sha2_compress_function(list(SHA256_IV),
+                                    compute_message_schedule(message))
+    padding = (message + list(SHA256_IV) + output) * (block_size - 1)
+    _write_arg(vm, ids.get("sha256_ptr_end"), padding)
+
+
+# ---------------------------------------------------------------------------
+# cairo_keccak (keccak.cairo + keccak_utils.py)
+# ---------------------------------------------------------------------------
+
+KECCAK_WRITE_ARGS = (
+    "segments.write_arg(ids.inputs, [ids.low % 2 ** 64, "
+    "ids.low // 2 ** 64])\n"
+    "segments.write_arg(ids.inputs + 2, [ids.high % 2 ** 64, "
+    "ids.high // 2 ** 64])"
+)
+
+COMPARE_BYTES_IN_WORD_NONDET = (
+    "memory[ap] = to_felt_or_relocatable(ids.n_bytes < ids.BYTES_IN_WORD)"
+)
+
+COMPARE_KECCAK_FULL_RATE_IN_BYTES_NONDET = (
+    "memory[ap] = to_felt_or_relocatable(ids.n_bytes >= "
+    "ids.KECCAK_FULL_RATE_IN_BYTES)"
+)
+
+BLOCK_PERMUTATION = (
+    "from starkware.cairo.common.cairo_keccak.keccak_utils import "
+    "keccak_func\n"
+    "_keccak_state_size_felts = int(ids.KECCAK_STATE_SIZE_FELTS)\n"
+    "assert 0 <= _keccak_state_size_felts < 100\n\n"
+    "output_values = keccak_func(memory.get_range(\n"
+    "    ids.keccak_ptr - _keccak_state_size_felts, "
+    "_keccak_state_size_felts))\n"
+    "segments.write_arg(ids.keccak_ptr, output_values)"
+)
+
+CAIRO_KECCAK_FINALIZE = (
+    "# Add dummy pairs of input and output.\n"
+    "_keccak_state_size_felts = int(ids.KECCAK_STATE_SIZE_FELTS)\n"
+    "_block_size = int(ids.BLOCK_SIZE)\n"
+    "assert 0 <= _keccak_state_size_felts < 100\n"
+    "assert 0 <= _block_size < 10\n"
+    "inp = [0] * _keccak_state_size_felts\n"
+    "padding = (inp + keccak_func(inp)) * _block_size\n"
+    "segments.write_arg(ids.keccak_ptr_end, padding)"
+)
+
+
+def _keccak_func(lanes):
+    from ..hash.keccak_host import keccak_f
+
+    return keccak_f([v & ((1 << 64) - 1) for v in lanes])
+
+
+def _h_keccak_write_args(vm, ids, ap, fp):
+    inputs = ids.get("inputs")
+    low, high = _felt(ids.low), _felt(ids.high)
+    _write_arg(vm, inputs, [low % (1 << 64), low // (1 << 64)])
+    _write_arg(vm, inputs + 2, [high % (1 << 64), high // (1 << 64)])
+
+
+def _h_compare_bytes_in_word(vm, ids, ap, fp):
+    bound = _ids_get(ids, "BYTES_IN_WORD", 8)
+    vm.mem_set(ap, 1 if _felt(ids.n_bytes) < bound else 0)
+
+
+def _h_compare_keccak_full_rate(vm, ids, ap, fp):
+    bound = _ids_get(ids, "KECCAK_FULL_RATE_IN_BYTES", 136)
+    vm.mem_set(ap, 1 if _felt(ids.n_bytes) >= bound else 0)
+
+
+def _h_block_permutation(vm, ids, ap, fp):
+    size = _ids_get(ids, "KECCAK_STATE_SIZE_FELTS", 25)
+    if not 0 <= size < 100:
+        raise HintError(f"bad KECCAK_STATE_SIZE_FELTS {size}")
+    ptr = ids.get("keccak_ptr")
+    state = vm.get_range(ptr - size, size)
+    if None in state:
+        raise HintError("keccak block permutation: uninitialized state")
+    _write_arg(vm, ptr, _keccak_func(state))
+
+
+def _h_cairo_keccak_finalize(vm, ids, ap, fp):
+    size = _ids_get(ids, "KECCAK_STATE_SIZE_FELTS", 25)
+    block_size = _ids_get(ids, "BLOCK_SIZE", 3)
+    if not 0 <= size < 100 or not 0 <= block_size < 1000:
+        raise HintError("bad cairo_keccak finalize constants")
+    inp = [0] * size
+    padding = (inp + _keccak_func(inp)) * block_size
+    _write_arg(vm, ids.get("keccak_ptr_end"), padding)
+
+
+# ---------------------------------------------------------------------------
+# signature.cairo
+# ---------------------------------------------------------------------------
+
+VERIFY_ECDSA_SIGNATURE = (
+    "ecdsa_builtin.add_signature(ids.ecdsa_ptr.address_, "
+    "(ids.signature_r, ids.signature_s))"
+)
+
+
+def _h_verify_ecdsa_signature(vm, ids, ap, fp):
+    """Registers (r, s) with the ecdsa SignatureBuiltinRunner for the
+    instance ids.ecdsa_ptr points at; validation happens when the program
+    writes the [pub_key, message] pair (vm._validate_signature_cell)."""
+    addr = ids.get("ecdsa_ptr")  # pointer value = instance base address
+    r = _felt(ids.get("signature_r"))
+    s = _felt(ids.get("signature_s"))
+    try:
+        vm.add_signature(addr, (r, s))
+    except Exception as e:
+        raise HintError(str(e))
+
+
 STDLIB_IMPLS = {
     ASSERT_NOT_ZERO: _h_assert_not_zero,
+    VERIFY_ECDSA_SIGNATURE: _h_verify_ecdsa_signature,
+    USORT_ENTER_SCOPE: _h_usort_enter_scope,
+    USORT_BODY: _h_usort_body,
+    USORT_VERIFY: _h_usort_verify,
+    USORT_VERIFY_MULTIPLICITY_ASSERT: _h_usort_multiplicity_assert,
+    USORT_VERIFY_MULTIPLICITY_BODY: _h_usort_multiplicity_body,
+    BLAKE2S_COMPUTE: _h_blake2s_compute,
+    BLAKE2S_ADD_UINT256: _h_blake2s_add_uint256,
+    BLAKE2S_ADD_UINT256_BIGEND: _h_blake2s_add_uint256_bigend,
+    BLAKE2S_FINALIZE: _h_blake2s_finalize,
+    SHA256_MAIN_CONSTANT_INPUT_LENGTH: _h_sha256_main_constant,
+    SHA256_MAIN_ARBITRARY_INPUT_LENGTH: _h_sha256_main_arbitrary,
+    SHA256_FINALIZE: _h_sha256_finalize,
+    KECCAK_WRITE_ARGS: _h_keccak_write_args,
+    COMPARE_BYTES_IN_WORD_NONDET: _h_compare_bytes_in_word,
+    COMPARE_KECCAK_FULL_RATE_IN_BYTES_NONDET: _h_compare_keccak_full_rate,
+    BLOCK_PERMUTATION: _h_block_permutation,
+    CAIRO_KECCAK_FINALIZE: _h_cairo_keccak_finalize,
     ASSERT_NOT_EQUAL: _h_assert_not_equal,
     ASSERT_LE_FELT: _h_assert_le_felt,
     ASSERT_LE_FELT_EXCLUDED_0: _h_assert_le_felt_excluded(0),

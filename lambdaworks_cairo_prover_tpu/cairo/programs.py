@@ -239,6 +239,85 @@ def pedersen_program(pairs=((1, 2), (7, 11))) -> Program:
     return Program(data=data, main_pc=0, builtins=["pedersen"])
 
 
+def ecdsa_program(sigs) -> Program:
+    """Writes (pub_key, msg) pairs into the ecdsa signature builtin segment
+    (2-cell instances, cairo-vm SignatureBuiltinRunner); each signature
+    (r, s) is registered through a pre-instruction hint exactly when the
+    real verify_ecdsa_signature hint would run — before the asserts that
+    fill the instance (reference proves Small-layout ecdsa programs via
+    cairo-vm's signature runner, run.rs:76-101 / cairo_layout.rs:4).
+
+    ``sigs``: iterable of (pub_key, msg, r, s).  Stack layout at main:
+    [fp-3] = ecdsa base pointer."""
+    sigs = list(sigs)
+    data: list[int] = []
+    hints: dict[int, object] = {}
+
+    def reg_sig(i, r, s):
+        def h(vm, ap, fp):
+            base = vm.builtin_bases["ecdsa"]
+            vm.add_signature(base + 2 * i, (r, s))
+        return h
+
+    data += [copy_fp(-3)]
+    ap_off = 1
+    for i, (pub, msg, r, s) in enumerate(sigs):
+        base = 2 * i
+        hints[len(data)] = reg_sig(i, r, s)
+        data += push_imm(pub)
+        ap_off += 1
+        data += [_deref_write(-ap_off, base)]
+        data += push_imm(msg)
+        ap_off += 1
+        data += [_deref_write(-ap_off, base + 1)]
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=["ecdsa"], hints=hints)
+
+
+def keccak_program(inputs=(1, 2, 3, 4, 5, 6, 7, 8)) -> Program:
+    """Writes 8x200-bit input felts into one keccak builtin instance and
+    reads back the 8 permuted output felts (cells 8..15, deduced via
+    keccak-f[1600] — cairo-vm KeccakBuiltinRunner; layouts with keccak:
+    starknet_with_keccak / all_cairo, cairo_layout.rs:2-29).
+
+    Stack layout at main: [fp-3] = keccak base pointer."""
+    data: list[int] = []
+    data += [copy_fp(-3)]
+    ap_off = 1
+    for i, v in enumerate(inputs):
+        data += push_imm(v)
+        ap_off += 1
+        data += [_deref_write(-ap_off, i)]
+    for cell in range(8, 16):
+        data += [_deref_read(-ap_off, cell)]
+        ap_off += 1
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=["keccak"])
+
+
+def poseidon_program(triples=((1, 2, 3),)) -> Program:
+    """Writes (in0, in1, in2) states into the poseidon builtin segment and
+    reads back the hades_permutation outputs (cells 3..5 of each 6-cell
+    instance — cairo-vm PoseidonBuiltinRunner; starknet layouts,
+    cairo_layout.rs:2-29).
+
+    Stack layout at main: [fp-3] = poseidon base pointer."""
+    data: list[int] = []
+    data += [copy_fp(-3)]
+    ap_off = 1
+    for i, (a, b, c) in enumerate(triples):
+        base = 6 * i
+        for j, v in enumerate((a, b, c)):
+            data += push_imm(v)
+            ap_off += 1
+            data += [_deref_write(-ap_off, base + j)]
+        for cell in (3, 4, 5):
+            data += [_deref_read(-ap_off, base + cell)]
+            ap_off += 1
+    data += [RET]
+    return Program(data=data, main_pc=0, builtins=["poseidon"])
+
+
 def rc_program(values=(250, 77, 1 << 100)) -> Program:
     """Writes values into the range-check builtin segment
     (cairo0/rc_program.cairo spirit: main{range_check_ptr}).

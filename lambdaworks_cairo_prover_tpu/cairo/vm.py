@@ -87,6 +87,11 @@ class CairoVM:
         # segment index -> deduction rule (builtins.DEDUCERS), mirroring
         # cairo-vm's deduce_memory_cell on first read of an output cell
         self._deducers: dict[int, object] = {}
+        # ecdsa SignatureBuiltinRunner state: segments under signature
+        # validation + (segment, instance_base_offset) -> (r, s) provided by
+        # the verify_ecdsa_signature hint (cairo-vm add_signature)
+        self._signature_segments: set[int] = set()
+        self.signatures: dict[tuple[int, int], tuple[int, int]] = {}
         # hint execution scopes (cairo-vm ExecutionScopes): a stack of dicts
         # manipulated by the vm_enter_scope()/vm_exit_scope() hints; the
         # root scope holds process-wide hint state (e.g. __dict_manager)
@@ -109,6 +114,13 @@ class CairoVM:
             if name in scope:
                 return scope[name]
         return default
+
+    def scope_get_local(self, name: str, default=None):
+        """Current-scope-only lookup — cairo-lang hint globals ARE the
+        innermost scope, so semantically sensitive names (initial_dict,
+        __find_element_index) must not leak in from enclosing scopes
+        (advisor finding, round 4)."""
+        return self.exec_scopes[-1].get(name, default)
 
     def scope_set(self, name: str, value) -> None:
         self.exec_scopes[-1][name] = value
@@ -143,6 +155,50 @@ class CairoVM:
         if existing is not None and existing != value:
             raise CairoVMError(f"memory write conflict at {addr}")
         seg[addr.offset] = value
+        if addr.segment in self._signature_segments:
+            self._validate_signature_cell(addr)
+
+    # -- ecdsa signature builtin (cairo-vm SignatureBuiltinRunner) ----------
+
+    def add_signature(self, addr: Relocatable, rs: tuple[int, int]) -> None:
+        """Register (r, s) for the instance at `addr` (the pub_key cell) —
+        the stdlib verify_ecdsa_signature hint's `ecdsa_builtin
+        .add_signature(ids.ecdsa_ptr, (r, s))`."""
+        from .builtins import ECDSA_CELLS_PER_INSTANCE as SZ
+
+        if addr.segment not in self._signature_segments:
+            raise CairoVMError(
+                f"add_signature outside the ecdsa segment: {addr}")
+        if addr.offset % SZ:
+            raise CairoVMError(
+                f"add_signature at a non-instance-base offset: {addr}")
+        self.signatures[(addr.segment, addr.offset)] = (int(rs[0]),
+                                                        int(rs[1]))
+
+    def _validate_signature_cell(self, addr: Relocatable) -> None:
+        """cairo-vm validation rule: once BOTH cells of a [pub_key, message]
+        instance are present, the hint-provided signature must exist and
+        verify on the STARK curve."""
+        from .builtins import ECDSA_CELLS_PER_INSTANCE as SZ
+        from .builtins import verify_ecdsa
+
+        seg = self.segments[addr.segment]
+        base = addr.offset - addr.offset % SZ
+        pub = seg.get(base)
+        msg = seg.get(base + 1)
+        if pub is None or msg is None:
+            return  # incomplete instance: validated when the pair completes
+        if isinstance(pub, Relocatable) or isinstance(msg, Relocatable):
+            raise CairoVMError("ecdsa builtin cells must be felts")
+        rs = self.signatures.get((addr.segment, base))
+        if rs is None:
+            raise CairoVMError(
+                f"signature hint is missing for ECDSA builtin at "
+                f"segment {addr.segment} offset {base}")
+        if not verify_ecdsa(pub, msg, rs[0], rs[1]):
+            raise CairoVMError(
+                f"invalid ECDSA signature at segment {addr.segment} offset "
+                f"{base}: r={rs[0]:#x} s={rs[1]:#x}")
 
     # -- run ---------------------------------------------------------------
 
@@ -161,6 +217,8 @@ class CairoVM:
             self.builtin_bases[name] = base
             if name in DEDUCERS:
                 self._deducers[base.segment] = DEDUCERS[name]
+            if name == "ecdsa":
+                self._signature_segments.add(base.segment)
             stack.append(base)
 
         return_fp = self.add_segment()

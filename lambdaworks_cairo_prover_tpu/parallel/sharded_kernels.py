@@ -24,6 +24,8 @@ identical for any mesh shape (asserted by tests/test_domain_sharded.py).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -64,12 +66,12 @@ class ShardedProverKernels(ProverKernels):
     """Same interface as ProverKernels; the domain axis lives on a mesh."""
 
     supports_fri_chain = True  # async per-layer chain (fri_commit_chain)
-    # sharded tensors stay in the unpacked 16-limb layout ShardedNTT
-    # expects; per-device HBM scales down with mesh size instead
-    packed_resident = False
-
-    def gather_columns(self, lde_evals, idxs):
-        return jnp.take(lde_evals, jnp.asarray(idxs), axis=-1)
+    # round 5: the RESIDENT polys/LDE buffers are packed (8, cols, N) u32 —
+    # same layout as the single-chip kernels — so per-device HBM gets BOTH
+    # halvings: packing AND the 1/D domain shard.  Transforms still run in
+    # the unpacked 16-limb layout ShardedNTT expects; packing happens on the
+    # way into the resident buffers and consumers unpack transiently.
+    packed_resident = True
 
     def __init__(self, air, domain, mesh, axis: str | None = None):
         if axis is None:
@@ -98,14 +100,41 @@ class ShardedProverKernels(ProverKernels):
     # round 1
     # ------------------------------------------------------------------
 
-    def interpolate_commit(self, trace_data):
+    def alloc_buffers(self, total_cols: int):
+        """Packed zero buffers, block-sharded on the domain axis."""
+        return tuple(self.sntt.shard(b)
+                     for b in super().alloc_buffers(total_cols))
+
+    def _pack_update(self, buf, piece, start: int):
+        """Pack an unpacked (16, c, N) piece into the packed resident buffer
+        at column offset `start` (donated in-place update)."""
+        key = ("s_pack_upd", buf.shape, piece.shape)
+        if key not in self._jit_cache:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def upd(b, p, s):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    b, fd.pack(p), s, axis=1)
+
+            self._jit_cache[key] = upd
+        return self._jit_cache[key](buf, piece, jnp.int32(start))
+
+    def interpolate_commit(self, trace_data, bufs=None, col_start: int = 0):
         domain = self.domain
         data = self.sntt.shard(trace_data)
         polys = self.sntt.interpolate(data)
         lde = self.sntt.evaluate_offset(polys, domain.lde_size,
                                         domain.coset_offset)
+        if bufs is None:
+            bufs = self.alloc_buffers(trace_data.shape[1])
+            col_start = 0
+        polys_buf, lde_buf = bufs
+        polys_buf = self._pack_update(polys_buf, polys, col_start)
+        lde_buf = self._pack_update(lde_buf, lde, col_start)
+        # leaf hashing reads this call's unpacked transient directly (the
+        # packed copy is the RESIDENT one); the transient dies afterwards
         levels = self._commit_rows(lde)
-        return polys, lde, levels
+        return polys_buf, lde_buf, levels
 
     def _commit_rows(self, lde):
         """Leaf-hash (16, cols, N) rows and build the Merkle levels."""
@@ -150,6 +179,8 @@ class ShardedProverKernels(ProverKernels):
 
             @jax.jit
             def r2_eval(lde, b_ab, t_ab, b_vals, rap, tables):
+                if lde.shape[0] == 8:  # packed resident LDE
+                    lde = fd.unpack(lde)
                 d_adj = tables["d_adj_boundary"]
                 acc = fd.zeros((N,))
                 step_groups = {}
@@ -230,6 +261,8 @@ class ShardedProverKernels(ProverKernels):
 
             @jax.jit
             def deep_eval(lde, h1_, h2_, points, gammas, ghh, ood, tables):
+                if lde.shape[0] == 8:  # packed resident LDE
+                    lde = fd.unpack(lde)
                 diffs = [
                     fd.sub(tables["lde_values"], points[k][:, :1])
                     for k in range(n_offsets + 1)

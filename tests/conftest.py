@@ -70,7 +70,9 @@ _SLOW_MODULES = {
     "test_trace_attacks",
     "test_trace_file_ingestion",
 }
-_SLOW_TESTS = {"test_hinted_program_proves", "test_fused_matches_xla_large"}
+_SLOW_TESTS = {"test_hinted_program_proves", "test_fused_matches_xla_large",
+               "test_ecdsa_prove_verify_small_layout",
+               "test_keccak_prove_verify", "test_poseidon_prove_verify"}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -83,6 +85,41 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.fast)
+
+
+# ---------------------------------------------------------------------------
+# Per-test watchdog (fast tier only).  pytest-timeout is not in this image;
+# a SIGALRM alarm around each fast-marked test turns a hang into a loud
+# failure with a traceback instead of an hour-long stall (round-4 review:
+# the tier must complete in minutes and have teeth).  Override with
+# LCP_FAST_TEST_TIMEOUT=<seconds>, 0 disables.
+# ---------------------------------------------------------------------------
+
+_FAST_TIMEOUT = int(os.environ.get("LCP_FAST_TEST_TIMEOUT", "240"))
+
+
+def pytest_runtest_call(item):
+    import signal
+
+    if _FAST_TIMEOUT <= 0 or item.get_closest_marker("fast") is None:
+        item.runtest()
+        return
+    if not hasattr(signal, "SIGALRM"):  # non-POSIX fallback
+        item.runtest()
+        return
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"fast-tier test exceeded {_FAST_TIMEOUT}s watchdog "
+            f"(LCP_FAST_TEST_TIMEOUT)")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(_FAST_TIMEOUT)
+    try:
+        item.runtest()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 _CRASH_RETRIES: dict[str, int] = {}

@@ -330,12 +330,14 @@ def test_squash_dict_inner_flow():
     H.execute_hint(vm, sk, skrefs, ap, fp)
     assert vm.mem_get(fp + 6) == 0           # one more access pending
 
-    # loop_temps struct at [fp+7..fp+10]
+    # loop_temps struct at [fp+7..fp+10], referenced through the POINTER
+    # form real cairo-compile emits (`let loop_temps = cast(ap, LoopTemps*)`
+    # — not an addressable cell; _member_addr must branch on the T* cast)
     lt_hint, lt_refs = make_hint(
         S.SQUASH_DICT_INNER_CHECK_ACCESS_INDEX, {"loop_temps": 7})
-    # loop_temps reference must be addressable: point it at fp+7 directly
-    lt_refs[0] = H.Reference(value="[cast(fp + (7), felt*)]",
-                             ap_tracking=H.ApTracking())
+    lt_refs[0] = H.Reference(
+        value="cast(fp + 7, starkware.cairo.common.squash_dict.LoopTemps*)",
+        ap_tracking=H.ApTracking())
     H.execute_hint(vm, lt_hint, lt_refs, ap, fp)
     assert vm.mem_get(fp + 7 + 0) == 3 - 1 - 1  # index_delta_minus1
     cl, clrefs = make_hint(
