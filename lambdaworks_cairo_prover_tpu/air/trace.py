@@ -42,14 +42,21 @@ def _assemble_columns(small, felt, small_idx, felt_idx):
     order = list(small_idx) + list(felt_idx)
     perm = np.argsort(np.asarray(order))
     raw = jnp.take(raw, jnp.asarray(perm), axis=1)
-    return fd.to_mont(raw)
+    # resident traces are PACKED (8, cols, n) — at 2^20 rows the Cairo main
+    # trace is 2.28 GB unpacked, 1.14 GB packed; consumers shape-detect
+    return fd.pack(fd.to_mont(raw))
 
 
 class TraceTable:
     def __init__(self, data: jnp.ndarray):
-        # data: (16, n_cols, n_rows), Montgomery limbs
-        assert data.ndim == 3 and data.shape[0] == N_LIMBS
+        # data: (16, n_cols, n_rows) Montgomery limbs, or the packed
+        # (8, n_cols, n_rows) u32 layout (fd.pack) from_int_columns emits
+        assert data.ndim == 3 and data.shape[0] in (N_LIMBS, N_LIMBS // 2)
         self.data = data
+
+    def unpacked(self) -> jnp.ndarray:
+        """(16, n_cols, n_rows) view regardless of the resident layout."""
+        return fd.unpack(self.data) if self.data.shape[0] == 8 else self.data
 
     # -- constructors -------------------------------------------------------
 
@@ -112,13 +119,15 @@ class TraceTable:
         return self.n_cols == 0
 
     def col(self, idx: int) -> jnp.ndarray:
-        return self.data[:, idx, :]
+        d = self.data[:, idx, :]
+        return fd.unpack(d) if d.shape[0] == 8 else d
 
     def get_row_ints(self, row_idx: int) -> list[int]:
-        return fd.to_ints(self.data[:, :, row_idx])
+        d = self.data[:, :, row_idx]
+        return fd.to_ints(fd.unpack(d) if d.shape[0] == 8 else d)
 
     def to_int_columns(self) -> list[list[int]]:
-        flat = fd.to_ints(self.data.reshape(N_LIMBS, -1))
+        flat = fd.to_ints(self.unpacked().reshape(N_LIMBS, -1))
         out = []
         for c in range(self.n_cols):
             out.append(flat[c * self.n_rows : (c + 1) * self.n_rows])
@@ -131,4 +140,4 @@ class TraceTable:
 
     def compute_trace_polys(self) -> jnp.ndarray:
         """Per-column interpolation: (16, n_cols, n_rows) coefficient tensor."""
-        return nttc.interpolate_fft(self.data)
+        return nttc.interpolate_fft(self.unpacked())

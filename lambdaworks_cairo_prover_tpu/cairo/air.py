@@ -338,7 +338,9 @@ class CairoAIR(AIR):
         from ..field import device as fdv
 
         n = main_trace.n_rows
-        data = main_trace.data  # (16, 34.., n) Montgomery
+        data = main_trace.unpacked()  # (16, 34.., n) Montgomery; with the
+        # packed resident layout this materializes a transient 16-limb copy
+        # only for the duration of the aux build (dies with this frame)
         pub = self.pub_inputs_
 
         addr_cols = jnp.stack(
@@ -703,11 +705,12 @@ class CairoAIR(AIR):
 
 def generate_cairo_proof(trace: TraceTable, pub_inputs: PublicInputs,
                          proof_options: ProofOptions, mesh=None,
-                         shard_axis: str = "domain"):
+                         shard_axis: str = "domain",
+                         donate_trace: bool = False):
     from ..prover.prove import prove
 
     return prove(trace, pub_inputs, proof_options, CairoAIR, mesh=mesh,
-                 shard_axis=shard_axis)
+                 shard_axis=shard_axis, donate_trace=donate_trace)
 
 
 def verify_cairo_proof(proof, pub_inputs: PublicInputs,

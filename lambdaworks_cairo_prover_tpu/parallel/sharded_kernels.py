@@ -72,6 +72,10 @@ class ShardedProverKernels(ProverKernels):
     # the unpacked 16-limb layout ShardedNTT expects; packing happens on the
     # way into the resident buffers and consumers unpack transiently.
     packed_resident = True
+    # constraint tables stay UNPACKED here: the whole-domain sharded
+    # round2/deep read them directly and the per-device share is already
+    # N/D; packing would add an unpack pass to every whole-domain eval
+    packed_tables = False
 
     def __init__(self, air, domain, mesh, axis: str | None = None):
         if axis is None:
@@ -83,10 +87,12 @@ class ShardedProverKernels(ProverKernels):
         self.axis = axis
         self.sntt = ShardedNTT(mesh, axis)
         super().__init__(air, domain)
+
+    def _finalize_tables(self, t: dict) -> dict:
         # re-assert the block-sharded layout on every table (tables derived
         # from small replicated literals, e.g. the tiled zerofier, may come
         # out of the jitted build with a different placement)
-        self.tables = {k: self.sntt.shard(v) for k, v in self.tables.items()}
+        return {k: self.sntt.shard(v) for k, v in t.items()}
 
     def _place(self, arr):
         return self.sntt.shard(arr)
@@ -121,6 +127,8 @@ class ShardedProverKernels(ProverKernels):
 
     def interpolate_commit(self, trace_data, bufs=None, col_start: int = 0):
         domain = self.domain
+        if trace_data.shape[0] == 8:  # packed resident trace layout
+            trace_data = fd.unpack(trace_data)
         data = self.sntt.shard(trace_data)
         polys = self.sntt.interpolate(data)
         lde = self.sntt.evaluate_offset(polys, domain.lde_size,

@@ -87,6 +87,12 @@ class ProverKernels:
     # 16 GB v5e on the reference's flagship fib(70000) workload
     packed_resident = True
 
+    # constraint tables (lde_values / d_adj / zerofier / bz_inv /
+    # exemptions — all (16, N)) also live packed; round2/deep unpack the
+    # chunk slice they read.  The sharded kernels keep these unpacked
+    # (their per-device share is already N/D).
+    packed_tables = True
+
     def __init__(self, air, domain):
         self.air = air
         self.domain = domain
@@ -127,6 +133,8 @@ class ProverKernels:
         }
         step_points = {s: domain.trace_root_pow(s) for s in distinct}
 
+        pack_tables = self.packed_tables
+
         @jax.jit
         def build_tables(pins):
             t = {
@@ -150,12 +158,26 @@ class ProverKernels:
                 inv_big = fd.batch_inverse(jnp.concatenate(diffs, axis=1))
                 for i, s in enumerate(distinct):
                     t[f"bz_inv_{s}"] = inv_big[:, i * N: (i + 1) * N]
+            if pack_tables:
+                # resident (16, N) tables halve to (8, N) inside this one
+                # program (intermediates die at trace exit); consumers
+                # unpack per chunk slice — at 2^22 LDE the ~18 whole-domain
+                # tables otherwise hold 4.9 GB of the 16 GB chip
+                t = {k: fd.pack(v) for k, v in t.items()}
             return t
 
         pow_inputs = {k: self._place(v) for k, v in pow_inputs.items()}
-        self.tables = build_tables(pow_inputs)
+        self.tables = self._finalize_tables(build_tables(pow_inputs))
+        # the LDE-root power table was only a build input; drop its global
+        # cache entry so a (16, N) array does not stay resident for nothing
+        nttc._powers_cache.pop((domain.lde_primitive_root % P, N), None)
         self._jit_cache = {}
         self.ntt_tables = self._build_ntt_tables()
+
+    def _finalize_tables(self, t: dict) -> dict:
+        """Placement hook for the finished table dict (sharded subclass
+        re-asserts block sharding)."""
+        return t
 
     def _place(self, arr):
         """Placement hook for freshly-built domain tables (the sharded
@@ -280,12 +302,15 @@ class ProverKernels:
             col_start = 0
         polys_buf, lde_buf = bufs
         col_chunk = min(n_cols, self._col_chunk())
-        key = ("r1_poly", col_chunk, trace_data.shape[2])
+        key = ("r1_poly", col_chunk, trace_data.shape[2],
+               trace_data.shape[0])
         if key not in self._jit_cache:
             domain = self.domain
 
             @jax.jit
             def r1_poly(data, ntts):
+                if data.shape[0] == N_LIMBS // 2:  # packed resident trace
+                    data = fd.unpack(data)
                 with nttc.inject_tables(ntts):
                     polys = nttc.interpolate_fft(data)
                     lde = nttc.evaluate_on_lde_domain(
@@ -305,10 +330,18 @@ class ProverKernels:
         data = trace_data
         if pad_cols:
             data = jnp.concatenate(
-                [data, jnp.zeros((N_LIMBS, pad_cols, data.shape[2]),
+                [data, jnp.zeros((data.shape[0], pad_cols, data.shape[2]),
                                  dtype=data.dtype)], axis=1
             )
         n_chunks = data.shape[1] // col_chunk
+        # At the largest domains, letting all chunk dispatches enqueue
+        # ahead allocates every in-flight program's output buffers at once
+        # (donation only releases at execution) — a periodic sync caps the
+        # number of outstanding transients at the cost of a tunnel
+        # round-trip each (LCP_R1_SYNC_EVERY overrides; 0 disables).
+        sync_env = os.environ.get("LCP_R1_SYNC_EVERY")
+        sync_every = (int(sync_env) if sync_env
+                      else (4 if lde_buf.shape[2] >= (1 << 22) else 0))
         for c in range(n_chunks):
             pp, ll = r1_poly(
                 jax.lax.slice_in_dim(data, c * col_chunk,
@@ -324,6 +357,8 @@ class ProverKernels:
                 polys_buf, pp, start)
             lde_buf = self._updater(lde_buf.shape, ll.shape)(
                 lde_buf, ll, start)
+            if sync_every and (c + 1) % sync_every == 0:
+                jax.block_until_ready(lde_buf)
             if _DEBUG:
                 jax.block_until_ready(lde_buf)
                 print(f"[kernel r1 chunk {c + 1}/{n_chunks}] "
@@ -333,9 +368,15 @@ class ProverKernels:
             print(f"[kernel r1_poly x{n_chunks}] "
                   f"{time.perf_counter() - t0:.2f}s", flush=True)
         # leaf hashing in chunks: the limb->bytes expansion peaks at ~50x the
-        # row bytes, which OOMs HBM if done over the whole domain at once
+        # row bytes, which OOMs HBM if done over the whole domain at once;
+        # at the largest domains the resident set leaves little headroom,
+        # so the chunk shrinks with N (2^20-row traces run within ~1 GB of
+        # the v5e ceiling)
         N = lde_buf.shape[2]
-        chunk = min(N, _LEAF_CHUNK)
+        env_leaf = os.environ.get("LCP_LEAF_CHUNK")
+        chunk = (max(128, int(env_leaf)) if env_leaf
+                 else min(N, _LEAF_CHUNK if N < (1 << 22)
+                          else _LEAF_CHUNK // 4))
         lkey = ("r1_leaves", lde_buf.shape, col_start, n_cols, chunk)
         if lkey not in self._jit_cache:
 
@@ -426,11 +467,13 @@ class ProverKernels:
                         lde_p, wrap_start, halo, axis=2)
                     main_p = jnp.concatenate([main_p, halo_p], axis=2)
                 lde_c = fd.unpack(main_p)
-                tc = {
-                    name: jax.lax.dynamic_slice_in_dim(tables[name], start,
-                                                       chunk, axis=1)
-                    for name in table_names
-                }
+
+                def table_chunk(name):
+                    sl = jax.lax.dynamic_slice_in_dim(tables[name], start,
+                                                      chunk, axis=1)
+                    return fd.unpack(sl) if sl.shape[0] == N_LIMBS // 2 else sl
+
+                tc = {name: table_chunk(name) for name in table_names}
                 d_adj = tc["d_adj_boundary"]
                 acc = fd.zeros((chunk,))
                 step_groups = {}
@@ -576,8 +619,11 @@ class ProverKernels:
 
             @jax.jit
             def deep_inv(points, tables):
+                lv = tables["lde_values"]
+                if lv.shape[0] == N_LIMBS // 2:  # packed resident table
+                    lv = fd.unpack(lv)
                 diffs = [
-                    fd.sub(tables["lde_values"], points[k][:, :1])
+                    fd.sub(lv, points[k][:, :1])
                     for k in range(n_offsets + 1)
                 ]
                 return fd.batch_inverse(jnp.concatenate(diffs, axis=1))

@@ -185,6 +185,7 @@ def prove(
     mesh=None,
     shard_axis: str = "domain",
     transcript_factory=DefaultTranscript,
+    donate_trace: bool = False,
 ) -> StarkProof:
     """Generate a STARK proof.
 
@@ -285,6 +286,13 @@ def prove(
 
         if not validate_trace(air, main_trace, aux_trace, rap_challenges):
             raise ProvingError("trace does not satisfy the AIR constraints")
+    if donate_trace:
+        # CLI-style single-shot proves: the raw (16, cols, n) main trace is
+        # not needed past the aux build — freeing it buys ~2.3 GB of HBM at
+        # 2^20 rows (the margin that fits that size on one v5e).  The
+        # caller's TraceTable is invalidated (documented on the kwarg).
+        main_trace.data.delete()
+        main_trace.data = None
     if not aux_trace.is_empty():
         if packed:
             trace_polys, lde_evals, aux_levels = kern.interpolate_commit(
@@ -295,6 +303,7 @@ def prove(
                 aux_trace.data)
             trace_polys = jnp.concatenate([trace_polys, aux_polys], axis=1)
             lde_evals = jnp.concatenate([lde_evals, aux_lde], axis=1)
+        aux_trace = None  # the (16, aux_cols, n) transient is committed
         aux_tree = fetch_tree(aux_levels)
         transcript.append(aux_tree.root)
         lde_trace_merkle_roots.append(aux_tree.root)

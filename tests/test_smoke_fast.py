@@ -45,7 +45,11 @@ def test_bench_script_runs():
     env.update(
         JAX_PLATFORMS="cpu",
         BENCH_WORKLOAD="fib",
-        BENCH_FIB_MAIN="500",
+        # fib(5) pads to a 64-row trace: the smoke value is "bench.py runs
+        # end-to-end and prints valid JSON", not "fib500 benches" — the
+        # round-4 review flagged the fib500 variant (2 full compiles,
+        # 1500 s budget) as the reason the fast tier took an hour
+        BENCH_FIB_MAIN="5",
         BENCH_QUERIES="3",
         BENCH_GRINDING="1",
         BENCH_SKIP_NTT="1",
@@ -53,10 +57,10 @@ def test_bench_script_runs():
     )
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
-        capture_output=True, text=True, timeout=1500, env=env, cwd=repo,
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
     )
     assert out.returncode == 0, f"bench.py failed:\n{out.stdout}\n{out.stderr}"
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["value"] > 0 and rec["unit"] == "s", rec
-    assert rec["trace_rows"] == 4096, rec
+    assert rec["trace_rows"] == 64, rec

@@ -1,40 +1,61 @@
-"""BASELINE config 5 demonstration: a >= 2^20-row trace proven with the
-LDE-domain axis sharded over a device mesh (all-to-all four-step NTTs +
-collective Merkle root reduction), recording wall time, per-device resident
-footprint, and all-to-all traffic.
+"""BASELINE config 5 demonstration: a >= 2^20-row synthetic trace proven
+with the LDE-domain axis sharded over a device mesh (all-to-all four-step
+NTTs + collective Merkle root reduction), recording MEASURED wall time,
+per-device resident footprint, and collective traffic.
+
+Round-5 upgrade (VERDICT r4 ask #1): the analytic comm/footprint model is
+replaced with measurements —
+
+  * per-phase live-array telemetry: prove.py's _mem hook is intercepted;
+    at each phase the script sums jax.live_arrays() and computes the exact
+    per-device maximum via `addressable_shards` (sharded arrays count
+    1/D per device, replicated arrays count in full)
+  * host peak RSS via resource.getrusage (the virtual mesh is one
+    process, so this bounds the whole 8-device footprint)
+  * collective bytes parsed from the XLA dump of the ACTUAL compiled SPMD
+    programs (--xla_dump_to): every all-to-all / all-gather /
+    collective-permute / reduce-scatter instruction's output shape, summed
+    per module (one entry per unique compiled program)
+  * proof-byte equality vs the single-device prover, run in-process at a
+    size that fits single (--equality_log2, default 2^16; 2^10/2^18 are
+    additionally asserted by tests/test_domain_sharded.py)
 
 Real multi-host TPU hardware is unavailable in this environment (one
-tunneled chip), so the mesh is the 8-virtual-device CPU mesh the test suite
-uses — the SPMD program (shardings, collectives, transcript schedule) is
-identical to what a TPU pod slice would run; only the executor differs.
-Byte-equality vs the single-device prover at the largest common size is
-asserted separately by tests/test_domain_sharded.py (2^10 and, under
-LCP_BIG_TESTS, 2^18).
+tunneled chip), so the mesh is the 8-virtual-device CPU mesh the test
+suite uses — the SPMD program (shardings, collectives, transcript
+schedule) is identical to what a TPU pod slice would run; only the
+executor differs.
 
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python tools/config5_scale.py [log2_rows] [out.json]
+    python tools/config5_scale.py [log2_rows] [out.json] [--equality_log2=16]
 """
 
 import json
 import os
+import re
+import resource
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_DUMP_DIR = os.environ.get("LCP_SCALE_DUMP", "/tmp/lcp_scale_xla_dump")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
 if "collective_call_terminate_timeout" not in flags:
-    # 8 virtual devices oversubscribe this host's cores; at 2^20 rows some
-    # all-to-all participants are scheduled >40s apart, tripping XLA's
-    # default rendezvous termination timeout (rendezvous.cc) even though
-    # the program is making progress.  Oversubscription is an artifact of
-    # emulating the mesh on CPU — a real slice has one core set per chip.
-    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
-              " --xla_cpu_collective_timeout_seconds=1200")
+    # 8 virtual devices oversubscribe this host's cores; at 2^20+ rows some
+    # all-to-all participants are scheduled far apart, tripping XLA's
+    # default rendezvous termination timeout even though the program is
+    # making progress.  Oversubscription is an artifact of emulating the
+    # mesh on CPU — a real slice has one core set per chip.
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+              " --xla_cpu_collective_timeout_seconds=7200")
+# LCP_SCALE_NO_DUMP=1 skips the HLO dump (the collective-bytes table then
+# reports empty) — the dump adds LLVM-side memory pressure on this host
+if "xla_dump_to" not in flags and not os.environ.get("LCP_SCALE_NO_DUMP"):
+    flags += f" --xla_dump_to={_DUMP_DIR} --xla_dump_hlo_as_text"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
@@ -45,9 +66,102 @@ except Exception:
     pass
 
 
+# ---------------------------------------------------------------------------
+# measured telemetry
+# ---------------------------------------------------------------------------
+
+
+def _live_array_phase_snapshot(tag, phases):
+    """Record total + exact per-device live bytes at a prove phase."""
+    total = 0
+    per_dev: dict = {}
+    for a in jax.live_arrays():
+        try:
+            total += a.nbytes
+            for sh in a.addressable_shards:
+                key = repr(sh.device)
+                per_dev[key] = per_dev.get(key, 0) + sh.data.nbytes
+        except Exception:
+            pass
+    phases.append({
+        "phase": tag,
+        "live_total_bytes": int(total),
+        "per_device_max_bytes": int(max(per_dev.values()) if per_dev else 0),
+    })
+
+
+_COLLECTIVE_RE = re.compile(
+    r"(\w+\[[0-9,]*\][^ ]*)\s+(all-to-all|all-gather|collective-permute|"
+    r"reduce-scatter)\(")
+
+_DTYPE_BYTES = {"u32": 4, "s32": 4, "f32": 4, "u64": 8, "f64": 8, "u16": 2,
+                "u8": 1, "pred": 1, "bf16": 2, "f16": 2}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    m = re.match(r"(\w+?)\[([0-9,]*)\]", shape_str)
+    if not m:
+        return 0
+    dt, dims = m.group(1), m.group(2)
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dt, 4)
+
+
+def _parse_collectives(dump_dir: str):
+    """Collective instructions from the optimized-HLO dumps of every
+    compiled module: (module, op_kind) -> bytes summed over instructions.
+    Tuple-shaped outputs (e.g. `(u32[...], u32[...]) all-to-all(...)`)
+    count every element."""
+    out = {}
+    if not os.path.isdir(dump_dir):
+        return out, 0
+    for fn in os.listdir(dump_dir):
+        if "after_optimizations" not in fn or not fn.endswith(".txt"):
+            continue
+        mod = fn.split(".")[1] if "." in fn else fn
+        with open(os.path.join(dump_dir, fn)) as f:
+            text = f.read()
+        for line in text.splitlines():
+            mm = re.search(
+                r"=\s+(\([^)]*\)|\S+)\s+(all-to-all|all-gather|"
+                r"collective-permute|reduce-scatter)", line)
+            if not mm:
+                continue
+            shapes = re.findall(r"\w+\[[0-9,]*\]", mm.group(1))
+            nbytes = sum(_shape_bytes(s) for s in shapes)
+            key = (mod, mm.group(2))
+            out[key] = out.get(key, 0) + nbytes
+    total = sum(out.values())
+    return out, total
+
+
+def _prove_with_phases(trace, pub, options, air, mesh):
+    from lambdaworks_cairo_prover_tpu.prover import prove as prove_mod
+
+    phases: list = []
+    orig_mem = prove_mod._mem
+    prove_mod._mem = lambda tag: _live_array_phase_snapshot(tag, phases)
+    try:
+        t0 = time.perf_counter()
+        proof = prove_mod.prove(trace, pub, options, air, mesh=mesh,
+                                shard_axis="domain" if mesh else "domain",
+                                instrument=True)
+        wall = time.perf_counter() - t0
+    finally:
+        prove_mod._mem = orig_mem
+    return proof, wall, phases
+
+
 def main():
     log2_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_r04.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_r05.json"
+    eq_log2 = 16
+    for a in sys.argv[3:]:
+        if a.startswith("--equality_log2="):
+            eq_log2 = int(a.split("=")[1])
 
     from lambdaworks_cairo_prover_tpu.air.examples.simple_fibonacci import (
         FibonacciAIR, FibonacciPublicInputs, fibonacci_trace)
@@ -65,33 +179,64 @@ def main():
     options = ProofOptions.default_test_options()  # blowup 4
     N = 4 * n
 
+    # ---- proof-byte equality vs single-device at a size that fits single.
+    # Runs in a SUBPROCESS: both phases in one process accumulate enough
+    # XLA-CPU JIT executables to exhaust LLVM's section mmap budget
+    # ("Unable to allocate section memory" with 120 GB of RAM free).
+    if os.environ.get("LCP_SCALE_PHASE") == "equality":
+        eq_n = 1 << eq_log2
+        eq_trace = fibonacci_trace([1, 1], eq_n)
+        t0 = time.perf_counter()
+        p_single = prove(eq_trace, pub, options, FibonacciAIR)
+        eq_single_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p_sharded = prove(eq_trace, pub, options, FibonacciAIR, mesh=mesh,
+                          shard_axis="domain")
+        eq_sharded_s = time.perf_counter() - t0
+        eq_bytes = serialize_proof(p_single) == serialize_proof(p_sharded)
+        print(json.dumps({"equal": bool(eq_bytes),
+                          "single_s": round(eq_single_s, 2),
+                          "sharded_s": round(eq_sharded_s, 2)}))
+        return
+
+    import subprocess
+    env = dict(os.environ)
+    env["LCP_SCALE_PHASE"] = "equality"
+    env["LCP_SCALE_NO_DUMP"] = "1"
+    env.pop("XLA_FLAGS", None)  # let the child rebuild its own flags
+    eq_out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), str(log2_rows),
+         "/dev/null", f"--equality_log2={eq_log2}"],
+        capture_output=True, text=True, env=env, timeout=7200)
+    try:
+        eq = json.loads(eq_out.stdout.strip().splitlines()[-1])
+    except Exception:
+        eq = {"equal": None,
+              "error": (eq_out.stdout[-400:] + eq_out.stderr[-400:])}
+    eq_bytes = eq.get("equal")
+    eq_single_s = eq.get("single_s", -1)
+    eq_sharded_s = eq.get("sharded_s", -1)
+    print(f"[equality 2^{eq_log2}] {eq}", flush=True)
+
+    # ---- the scale run ---------------------------------------------------
     t0 = time.perf_counter()
     trace = fibonacci_trace([1, 1], n)
     trace_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    proof = prove(trace, pub, options, FibonacciAIR, mesh=mesh,
-                  shard_axis="domain", instrument=True)
-    prove_s = time.perf_counter() - t0
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    proof, prove_s, phases = _prove_with_phases(
+        trace, pub, options, FibonacciAIR, mesh)
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     ok = verify(proof, pub, options, FibonacciAIR)
+    print(f"[scale 2^{log2_rows}] prove={prove_s:.1f}s verified={ok}",
+          flush=True)
 
-    # Analytic communication/footprint model for the 1-column AIR at this
-    # size (64 B per point in the unpacked 16x u32 limb layout):
-    # each four-step transform moves its full tensor through 3 all-to-alls,
-    # each exchanging (d-1)/d of the data.
-    bytes_per_pt = 64
-    transforms = {
-        "r1_interpolate(n)": n,
-        "r1_lde(N)": N,
-        "r2_interpolate(N)": N,
-        "r2_h1_eval(N)": N,
-        "r2_h2_eval(N)": N,
-        "r4_deep_interpolate(N)": N,
-        "fri_layer_evals(sum N/2^k)": 2 * N,
-    }
-    a2a_bytes = sum(3 * m * bytes_per_pt * (d - 1) / d
-                    for m in transforms.values())
-    resident_pts = n + N + 8 * N  # trace polys + LDE + tables/H/FRI approx
+    collectives, coll_total = _parse_collectives(_DUMP_DIR)
+    coll_table = [
+        {"module": k[0], "op": k[1], "bytes": v}
+        for k, v in sorted(collectives.items(), key=lambda kv: -kv[1])
+    ]
+
     record = {
         "config": "BASELINE config 5 (domain-sharded long-trace prove)",
         "trace_rows_log2": log2_rows,
@@ -102,18 +247,37 @@ def main():
         "prove_wall_s": round(prove_s, 2),
         "verified": bool(ok),
         "proof_bytes": len(serialize_proof(proof)),
-        "round_fractions": {k: round(v, 4)
+        "round_timings_s": {k: round(v, 2)
                             for k, v in proof._timings.items()},
-        "all_to_all_bytes_total": int(a2a_bytes),
-        "per_device_resident_bytes_est": int(
-            resident_pts * bytes_per_pt / d),
-        "bytes_equal_single_device": (
-            "asserted at 2^10/2^18 by tests/test_domain_sharded.py; "
-            "single-device at this size exceeds the CPU-host time budget"),
+        # MEASURED footprint: live-array telemetry per prove phase (exact
+        # per-device byte maxima via addressable_shards) + host peak RSS
+        "phase_live_bytes": phases,
+        "per_device_peak_live_bytes": max(
+            (p["per_device_max_bytes"] for p in phases), default=0),
+        "host_peak_rss_bytes": int(rss_after) * 1024,
+        "host_rss_growth_bytes": int(rss_after - rss_before) * 1024,
+        # MEASURED collectives: parsed from the XLA dumps of the actual
+        # compiled SPMD programs (bytes per module per op kind; modules
+        # compile once — fri layers and r1 chunks reuse one module per
+        # shape, so this is a per-unique-program total, not a per-
+        # invocation count)
+        "collective_bytes_by_module": coll_table[:40],
+        "collective_bytes_unique_programs_total": coll_total,
+        "bytes_equal_single_device": {
+            "log2_rows": eq_log2,
+            "equal": bool(eq_bytes),
+            "single_s": round(eq_single_s, 2),
+            "sharded_s": round(eq_sharded_s, 2),
+            "also_asserted_by": "tests/test_domain_sharded.py (2^10; "
+                                "2^18 under LCP_BIG_TESTS)",
+        },
+        "packed_resident_sharded": True,
     }
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
-    print(json.dumps(record))
+    print(json.dumps({k: v for k, v in record.items()
+                      if k not in ("collective_bytes_by_module",
+                                   "phase_live_bytes")}))
 
 
 if __name__ == "__main__":
