@@ -127,7 +127,16 @@ class TraceTable:
         return fd.to_ints(fd.unpack(d) if d.shape[0] == 8 else d)
 
     def to_int_columns(self) -> list[list[int]]:
-        flat = fd.to_ints(self.unpacked().reshape(N_LIMBS, -1))
+        # fetch the RESIDENT layout (packed = half the transfer) and unpack
+        # host-side — an on-device whole-trace unpack would spike HBM by
+        # the full 16-limb copy exactly when memory is tightest
+        raw = np.asarray(self.data)
+        if raw.shape[0] == N_LIMBS // 2:
+            un = np.empty((N_LIMBS,) + raw.shape[1:], np.uint32)
+            un[0::2] = raw & 0xFFFF
+            un[1::2] = raw >> 16
+            raw = un
+        flat = fd.to_ints(raw.reshape(N_LIMBS, -1))
         out = []
         for c in range(self.n_cols):
             out.append(flat[c * self.n_rows : (c + 1) * self.n_rows])

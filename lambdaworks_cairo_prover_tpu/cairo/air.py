@@ -338,24 +338,31 @@ class CairoAIR(AIR):
         from ..field import device as fdv
 
         n = main_trace.n_rows
-        data = main_trace.unpacked()  # (16, 34.., n) Montgomery; with the
-        # packed resident layout this materializes a transient 16-limb copy
-        # only for the duration of the aux build (dies with this frame)
+        # per-column unpack (main_trace.col): with the packed resident
+        # layout only the 11 columns the RAP reads materialize 16-limb
+        # transients (~0.07 GB each at 2^20 rows), never the whole trace
         pub = self.pub_inputs_
 
         addr_cols = jnp.stack(
-            [data[:, c, :] for c in
+            [main_trace.col(c) for c in
              (FRAME_PC, FRAME_DST_ADDR, FRAME_OP0_ADDR, FRAME_OP1_ADDR)],
             axis=2,
         ).reshape(16, 4 * n)  # row-major interleave (16, 4n)
         val_cols = jnp.stack(
-            [data[:, c, :] for c in
+            [main_trace.col(c) for c in
              (FRAME_INST, FRAME_DST, FRAME_OP0, FRAME_OP1)],
             axis=2,
         ).reshape(16, 4 * n)
         off_cols = jnp.stack(
-            [data[:, c, :] for c in (OFF_DST, OFF_OP0, OFF_OP1)], axis=2
+            [main_trace.col(c) for c in (OFF_DST, OFF_OP0, OFF_OP1)], axis=2
         ).reshape(16, 3 * n)
+        if getattr(main_trace, "_release_after_read", False):
+            # single-shot prove (donate_trace): the 11 columns above are all
+            # the RAP reads — free the resident trace so the sort/scan
+            # transients below reuse its HBM
+            jax.block_until_ready((addr_cols, val_cols, off_cols))
+            main_trace.data.delete()
+            main_trace.data = None
 
         # public-memory injection into the last pub_len slots
         pub_addrs = self._get_pub_memory_addrs()

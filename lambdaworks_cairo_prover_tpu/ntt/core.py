@@ -66,10 +66,33 @@ class inject_tables:
         return False
 
 
+def pack_table_tree(v):
+    """Recursively pack 16-limb u32 table arrays to the (8, ...) resident
+    layout (kernels keep their injected NTT tables packed — ~1.9 GB of
+    twiddle/power tables at a 2^22 LDE otherwise)."""
+    if isinstance(v, (tuple, list)):
+        return tuple(pack_table_tree(x) for x in v)
+    if (N_LIMBS == 16 and hasattr(v, "shape") and v.ndim >= 1
+            and v.shape[0] == N_LIMBS):
+        return fd.pack(v)
+    return v
+
+
+def _unpack_table_tree(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(_unpack_table_tree(x) for x in v)
+    if (N_LIMBS == 16 and hasattr(v, "shape") and v.ndim >= 1
+            and v.shape[0] == N_LIMBS // 2):
+        return fd.unpack(v)
+    return v
+
+
 def _injected(key):
     for mapping in reversed(_injected_tables):
         if key in mapping:
-            return mapping[key]
+            # tables may arrive packed; the unpack ops land inside the
+            # consuming kernel's trace, so the 16-limb copy is transient
+            return _unpack_table_tree(mapping[key])
     return None
 
 

@@ -237,7 +237,23 @@ class ProverKernels:
             size_d //= 2
             add_pw(off, size_c)
             add_tw(size_d.bit_length() - 1, False)
-        return ntt_tables
+        # resident tables stay packed; nttc._injected unpacks transiently
+        # inside each consuming kernel (~1.9 GB -> ~0.95 GB at a 2^22 LDE)
+        packed = {k: nttc.pack_table_tree(v) for k, v in ntt_tables.items()}
+        # evict the UNPACKED originals from the module-level caches for
+        # large sizes (they would otherwise keep a second full-size copy
+        # alive; small entries stay cached for reuse)
+        big = 1 << 17
+        for cache, pred in (
+            (nttc._twiddle_cache, lambda k: (1 << k[0]) >= big),
+            (nttc._powers_cache, lambda k: k[1] >= big),
+            (nttc._four_cache, lambda k: (1 << k[1]) >= big),
+            (fused_ntt._table_cache,
+             lambda k: k[0] == "global" and (1 << k[1]) >= big),
+        ):
+            for k in [k for k in cache if pred(k)]:
+                cache.pop(k, None)
+        return packed
 
     def _probe_challenges(self):
         """Dummy rap challenges for structural inspection (boundary layout)."""

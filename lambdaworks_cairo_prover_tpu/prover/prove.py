@@ -275,7 +275,24 @@ def prove(
     lde_trace_merkle_trees = [main_tree]
 
     rap_challenges = air.build_rap_challenges(transcript)
-    aux_trace = air.build_auxiliary_trace(main_trace, rap_challenges)
+    if donate_trace:
+        # allow the AIR to free the resident trace as soon as it has read
+        # the columns it needs (the aux sort/scan transients then reuse
+        # that HBM); prove's fallback below frees it if the AIR does not
+        main_trace._release_after_read = True
+    if (os.environ.get("LCP_AUX_HOST") == "1"
+            and hasattr(air, "build_auxiliary_trace_host")):
+        # HBM relief valve for the largest single-chip traces: the aux
+        # sort/scan device transients (~2 GB at 2^20 rows) are what tips a
+        # 13 GB-resident prove over the v5e ceiling — the host build is the
+        # reference-path implementation (identical values; asserted by
+        # tests) and touches no device memory beyond the final upload
+        aux_trace = air.build_auxiliary_trace_host(main_trace, rap_challenges)
+        if donate_trace and main_trace.data is not None:
+            main_trace.data.delete()
+            main_trace.data = None
+    else:
+        aux_trace = air.build_auxiliary_trace(main_trace, rap_challenges)
     _mem("round1: aux trace built")
     if os.environ.get("LCP_VALIDATE_TRACE"):
         # Reference prover.rs:573-580 runs the pointwise constraint oracle on
@@ -286,11 +303,13 @@ def prove(
 
         if not validate_trace(air, main_trace, aux_trace, rap_challenges):
             raise ProvingError("trace does not satisfy the AIR constraints")
-    if donate_trace:
-        # CLI-style single-shot proves: the raw (16, cols, n) main trace is
-        # not needed past the aux build — freeing it buys ~2.3 GB of HBM at
+    if donate_trace and main_trace.data is not None:
+        # CLI-style single-shot proves: the resident main trace is not
+        # needed past the aux build — freeing it buys ~1.1-2.3 GB of HBM at
         # 2^20 rows (the margin that fits that size on one v5e).  The
         # caller's TraceTable is invalidated (documented on the kwarg).
+        # (An AIR may already have released it mid-aux-build via the
+        # _release_after_read flag, set before the build above.)
         main_trace.data.delete()
         main_trace.data = None
     if not aux_trace.is_empty():
